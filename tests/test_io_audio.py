@@ -1,0 +1,105 @@
+import numpy as np
+import pytest
+
+from knnsvc_tpu.io.audio import load_audio, save_audio, resample, to_mono
+
+
+def test_wav_roundtrip_float(tmp_path):
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    path = tmp_path / "t.wav"
+    save_audio(path, x, 16000)
+    y, sr = load_audio(path)
+    assert sr == 16000
+    assert y.shape == (1, 16000)
+    np.testing.assert_allclose(y[0], x, atol=1e-6)
+
+
+def test_wav_roundtrip_peak_normalization(tmp_path):
+    # ref lib_ongaku_test.py:104-107: only normalize when |x| > 1
+    x = np.array([0.0, 2.0, -1.0], dtype=np.float32)
+    path = tmp_path / "t.wav"
+    save_audio(path, x, 8000)
+    y, _ = load_audio(path)
+    np.testing.assert_allclose(y[0], [0.0, 1.0, -0.5], atol=1e-6)
+
+
+def test_wav_stereo_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    x = np.clip(rng.standard_normal((2, 1000)) * 0.2, -0.9, 0.9).astype(np.float32)
+    path = tmp_path / "t.wav"
+    save_audio(path, x, 44100)
+    y, sr = load_audio(path)
+    assert sr == 44100 and y.shape == (2, 1000)
+    np.testing.assert_allclose(y, x, atol=1e-6)
+
+
+def test_load_sample_content(sample_content):
+    x, sr = load_audio(sample_content / "Danakil-voice_resampled_16000_cut.wav")
+    assert sr == 16000
+    assert x.shape[0] in (1, 2)
+    assert x.shape[1] > 16000  # at least a second
+    assert np.max(np.abs(x)) <= 1.0
+
+
+def test_pcm16_decode(tmp_path):
+    # hand-built PCM16 file
+    import struct
+
+    x = np.array([0, 16384, -16384, 32767], dtype="<i2")
+    body = x.tobytes()
+    header = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+    header += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+    header += b"data" + struct.pack("<I", len(body))
+    p = tmp_path / "p16.wav"
+    p.write_bytes(header + body)
+    y, sr = load_audio(p)
+    np.testing.assert_allclose(y[0], x.astype(np.float32) / 32768.0, atol=1e-7)
+
+
+def test_to_mono():
+    x = np.array([[1.0, 2.0], [3.0, 4.0]], dtype=np.float32)
+    np.testing.assert_allclose(to_mono(x), [[2.0, 3.0]])
+    np.testing.assert_allclose(to_mono(np.array([1.0, 2.0])), [[1.0, 2.0]])
+
+
+def test_resample_vs_torchaudio_algorithm():
+    """Against torch's own implementation of the identical sinc-resample
+    algorithm (torchaudio.functional.resample is pure torch ops; replicated
+    here from its published algorithm to validate ours)."""
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(4410).astype(np.float32)
+
+    # torch reference implementation (sinc interpolation, width 6, rolloff .99)
+    def torch_resample(wave, orig, new):
+        import math
+
+        gcd = math.gcd(orig, new)
+        orig_g, new_g = orig // gcd, new // gcd
+        lowpass_filter_width, rolloff = 6, 0.99
+        base_freq = min(orig_g, new_g) * rolloff
+        width = math.ceil(lowpass_filter_width * orig_g / base_freq)
+        idx = torch.arange(-width, width + orig_g, dtype=torch.float64)[None, None] / orig_g
+        t = torch.arange(0, -new_g, -1, dtype=torch.float64)[:, None, None] / new_g + idx
+        t *= base_freq
+        t = t.clamp_(-lowpass_filter_width, lowpass_filter_width)
+        window = torch.cos(t * math.pi / lowpass_filter_width / 2) ** 2
+        t *= math.pi
+        scale = base_freq / orig_g
+        kernels = torch.where(t == 0, torch.tensor(1.0, dtype=torch.float64), t.sin() / t)
+        kernels *= window * scale
+        w = torch.as_tensor(wave, dtype=torch.float64)[None, None]
+        import torch.nn.functional as F
+
+        wp = F.pad(w, (width, width + orig_g))
+        res = F.conv1d(wp, kernels.to(torch.float64), stride=orig_g)
+        res = res.transpose(1, 2).reshape(1, -1)
+        target = int(math.ceil(new_g * len(wave) / orig_g))
+        return res[0, :target].numpy()
+
+    for orig, new in [(44100, 16000), (22050, 16000), (16000, 8000), (8000, 16000)]:
+        ours = resample(x, orig, new)
+        theirs = torch_resample(x, orig, new)
+        assert ours.shape == theirs.shape
+        np.testing.assert_allclose(ours, theirs, atol=1e-5)
