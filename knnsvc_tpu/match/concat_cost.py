@@ -1,0 +1,101 @@
+"""Concatenation-cost candidate reselection (the paper's CAT step).
+
+Reference: lib_ongaku_test.py:270-369 (`knn_with_concat_cost`) — a strictly
+sequential per-frame greedy pass: frame i's candidate set is its own top-k
+plus (previous frame's selection + 1); cost = matching cosine + weighted
+torch-median of concatenation cosines to the previous picks (+ |Δlog2 f0| in
+pitched mode); take the k cheapest.
+
+TPU redesign: the loop is a `lax.scan` over frames with a fixed-shape body
+(2k candidates, k picks) — the only serial dependency the pipeline has.
+Throughput comes from batching utterances outside, not from the frame loop.
+
+Replicated quirks (deliberate, for parity):
+- torch-median (lower-middle) over the k previous picks.
+- pitched mode's *sticky* concat weight: the reference reassigns the Python
+  variable `concat_weight = 0` once a frame's source-continuity baseline is
+  >= 0.08, silencing the concat term for ALL later frames
+  (lib_ongaku_test.py:325-332). Carried through the scan state here.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from knnsvc_tpu.match.f0_logic import torch_median
+
+
+def _cos_dist_rows(a: jax.Array, b: jax.Array) -> jax.Array:
+    """(A, D) x (B, D) -> (A, B) cosine distances."""
+    an = jnp.linalg.norm(a, axis=-1, keepdims=True)
+    bn = jnp.linalg.norm(b, axis=-1, keepdims=True)
+    return 1.0 - (a @ b.T) / (an * bn.T)
+
+
+@functools.partial(jax.jit, static_argnames=("concat_weight",))
+def knn_with_concat_cost(
+    target_feature_indices: jax.Array,   # (T, k) int32
+    src_elements: jax.Array,             # (T, D)
+    tgt_elements: jax.Array,             # (P, D)
+    shifted_src_f0: jax.Array | None = None,  # (T,) Hz — pitched mode
+    tgt_f0: jax.Array | None = None,          # (P,) Hz
+    concat_weight: float = 0.2,
+) -> jax.Array:
+    """Returns reselected indices (T, k)."""
+    T, k = target_feature_indices.shape
+    P = tgt_elements.shape[0]
+    pitched = shifted_src_f0 is not None
+
+    if pitched:
+        assert tgt_f0 is not None
+        src_log_f0 = jnp.log2(shifted_src_f0 + 1e-5)
+        tgt_log_f0 = jnp.log2(tgt_f0 + 1e-5)
+    else:
+        src_log_f0 = jnp.zeros((T,))
+        tgt_log_f0 = jnp.zeros((P,))
+
+    # per-frame source continuity baseline: 2 * d(src[i-1], src[i])
+    src_n = src_elements / jnp.linalg.norm(src_elements, axis=-1, keepdims=True)
+    baselines = 2.0 * (1.0 - jnp.sum(src_n[:-1] * src_n[1:], axis=-1))  # (T-1,)
+
+    def body(carry, inputs):
+        prev_idx, weight = carry                     # (k,), scalar
+        own_cand, src_vec, baseline, src_lf0 = inputs
+
+        extra = jnp.minimum(prev_idx + 1, P - 1)
+        cand = jnp.concatenate([own_cand, extra])    # (2k,)
+        cand_feats = tgt_elements[cand]              # (2k, D)
+
+        matching_cost = _cos_dist_rows(src_vec[None], cand_feats)[0]        # (2k,)
+        concat_cost = _cos_dist_rows(tgt_elements[prev_idx], cand_feats)    # (k, 2k)
+
+        if pitched:
+            pitch_cost = jnp.abs(tgt_log_f0[cand] - src_lf0)                # (2k,)
+            low = baseline < 0.08
+            concat_cost = jnp.where(
+                low & (concat_cost < 5.0 * baseline), 0.0, concat_cost
+            )
+            weight = jnp.where(low, weight, 0.0)     # sticky zeroing
+            total = weight * torch_median(concat_cost, axis=0) + matching_cost + pitch_cost
+        else:
+            concat_cost = jnp.where(
+                concat_cost > baseline, 1.5 * concat_cost - baseline, concat_cost
+            )
+            total = concat_weight * torch_median(concat_cost, axis=0) + matching_cost
+
+        neg_vals, pick = jax.lax.top_k(-total, k)
+        new_idx = cand[pick]
+        return (new_idx, weight), new_idx
+
+    init = (target_feature_indices[0], jnp.float32(concat_weight))
+    xs = (
+        target_feature_indices[1:],
+        src_elements[1:],
+        baselines,
+        src_log_f0[1:],
+    )
+    _, rest = jax.lax.scan(body, init, xs)
+    return jnp.concatenate([target_feature_indices[:1], rest], axis=0)

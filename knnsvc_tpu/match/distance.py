@@ -1,0 +1,39 @@
+"""Cosine-distance kernels.
+
+The reference computes 1 - cos via the cdist identity
+(-||a-b||^2 + ||a||^2 + ||b||^2)/2 (ref lib_ongaku_test.py:148-175,
+ddsp_matcher.py:213-221). On TPU a direct normalized dot-product is both
+better-conditioned and MXU-native (one einsum), so that is the primary kernel;
+the row-chunking the reference needs to bound GPU memory (increment=20) is
+replaced by XLA tiling / explicit query-chunked scan in match/knn.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cosine_distance(source: jax.Array, pool: jax.Array, eps: float = 0.0) -> jax.Array:
+    """1 - cosine similarity. source (Q, D), pool (P, D) -> (Q, P)."""
+    src_norm = jnp.linalg.norm(source, axis=-1, keepdims=True)
+    pool_norm = jnp.linalg.norm(pool, axis=-1, keepdims=True)
+    dot = jnp.dot(source, pool.T, preferred_element_type=jnp.float32)
+    return 1.0 - dot / (src_norm * pool_norm.T + eps)
+
+
+def weighted_cosine_distance(source: jax.Array, pool: jax.Array,
+                             weights: jax.Array | None = None) -> jax.Array:
+    """Per-source-row feature weighting (ref ddsp_matcher.py:225-269
+    fast_weighted_cosine_dist): for pair (i, j),
+    1 - <w_i*x_i, y_j> / (||w_i*x_i|| * ||w_i*y_j||)."""
+    if weights is None:
+        return cosine_distance(source, pool)
+    ws = source * weights                                  # (Q, D)
+    src_norm = jnp.linalg.norm(ws, axis=-1)                # (Q,)
+    dot = jnp.dot(ws, pool.T, preferred_element_type=jnp.float32)  # (Q, P)
+    # ||w_i * y_j|| for every pair — one einsum instead of the reference's
+    # python-chunked (Q,P,D) materialization (ddsp_matcher.py:251-257)
+    pool_norms_sq = jnp.dot(weights ** 2, (pool ** 2).T,
+                            preferred_element_type=jnp.float32)    # (Q, P)
+    return 1.0 - dot / (src_norm[:, None] * jnp.sqrt(pool_norms_sq))

@@ -1,0 +1,54 @@
+"""f0 register shifting and f0-compatibility re-ranking.
+
+Torch-median semantics matter here: torch.median returns the LOWER of the two
+middle elements for even counts (unlike numpy's mean-of-middles); the
+reference's register shift and concat-cost both depend on it.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def torch_median(x: jax.Array, axis: int = -1) -> jax.Array:
+    """torch.median along an axis: sorted[(n-1)//2]."""
+    s = jnp.sort(x, axis=axis)
+    idx = (x.shape[axis] - 1) // 2
+    return jnp.take(s, idx, axis=axis)
+
+
+def masked_log_median(f0: jax.Array) -> jax.Array:
+    """torch.median(torch.log(f0[f0 != 0])) under jit: masked sort with +inf
+    padding and a dynamic middle index (ref ddsp_prematch_dataset.py:1224-1225)."""
+    mask = f0 != 0
+    n = jnp.sum(mask)
+    vals = jnp.where(mask, jnp.log(jnp.where(mask, f0, 1.0)), jnp.inf)
+    s = jnp.sort(vals)
+    idx = jnp.maximum(n - 1, 0) // 2
+    return s[idx]
+
+
+@jax.jit
+def shift_f0_to_target_register(query_f0: jax.Array, matching_f0: jax.Array) -> jax.Array:
+    """Log-median alignment of voiced source frames into the target's register
+    (ref ddsp_prematch_dataset.py:1224-1233):
+    shifted = exp(log f0 + median(log tgt) - median(log src)) on voiced frames."""
+    src_med = masked_log_median(query_f0)
+    tgt_med = masked_log_median(matching_f0)
+    shifted = jnp.exp(jnp.log(jnp.where(query_f0 != 0, query_f0, 1.0)) + tgt_med - src_med)
+    return jnp.where(query_f0 != 0, shifted, query_f0)
+
+
+@jax.jit
+def sort_by_f0_compatibility(expected_f0: jax.Array, f0_list: jax.Array,
+                             target_feature_indices: jax.Array) -> jax.Array:
+    """Stable re-sort of each frame's candidate indices by
+    |log2(cand_f0 + 1e-5) - log2(expected_f0 + 1e-5)|
+    (ref ddsp_prematch_dataset.py:954-1016)."""
+    cand_f0 = f0_list[target_feature_indices]                     # (T, k)
+    badness = jnp.abs(jnp.log2(cand_f0 + 1e-5) - jnp.log2(expected_f0[:, None] + 1e-5))
+    order = jnp.argsort(badness, axis=1, stable=True)
+    return jnp.take_along_axis(target_feature_indices, order, axis=1)

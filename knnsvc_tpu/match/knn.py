@@ -1,0 +1,47 @@
+"""k-nearest-neighbor search over the target frame pool.
+
+The reference loops 20 query rows at a time over the full pool and topk's
+each chunk (ref ddsp_prematch_dataset.py:1195-1210, lib_ongaku_test.py:148-175).
+TPU-first: one (Q, P, D) einsum on the MXU with lax.top_k, query-chunked with
+lax.map only when the distance matrix would not fit; pool-sharded multi-chip
+search lives in parallel/sharded_knn.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from knnsvc_tpu.match.distance import cosine_distance
+
+# keep the materialized (q_chunk, P) distance tile under ~256 MB fp32
+_MAX_TILE_ELEMS = 64 * 1024 * 1024
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def knn_topk(query: jax.Array, pool: jax.Array, k: int = 32) -> tuple[jax.Array, jax.Array]:
+    """Top-k smallest cosine distances. query (Q, D), pool (P, D) ->
+    (indices (Q, k) int32, distances (Q, k)) both ascending by distance."""
+    Q, _ = query.shape
+    P = pool.shape[0]
+
+    q_chunk = max(1, _MAX_TILE_ELEMS // max(P, 1))
+    if Q <= q_chunk:
+        dists = cosine_distance(query, pool)
+        neg_vals, idx = jax.lax.top_k(-dists, k)
+        return idx.astype(jnp.int32), -neg_vals
+
+    # pad Q to a chunk multiple and scan chunks (bounded memory, full MXU tiles)
+    n_chunks = -(-Q // q_chunk)
+    pad = n_chunks * q_chunk - Q
+    qp = jnp.pad(query, ((0, pad), (0, 0)))
+
+    def chunk_fn(qc):
+        dists = cosine_distance(qc, pool)
+        neg_vals, idx = jax.lax.top_k(-dists, k)
+        return idx.astype(jnp.int32), -neg_vals
+
+    idx, vals = jax.lax.map(chunk_fn, qp.reshape(n_chunks, q_chunk, -1))
+    return idx.reshape(-1, k)[:Q], vals.reshape(-1, k)[:Q]

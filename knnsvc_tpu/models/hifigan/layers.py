@@ -1,0 +1,129 @@
+"""Shared conv primitives for the vocoder stack.
+
+Weight layout follows torch Conv1d ((out, in/groups, k)) so checkpoints
+convert 1:1. Weight-normed convs may appear either folded ({"w"}) for
+inference or parametrized ({"g", "v"}) for training; `conv_weight` resolves
+both, so the same apply functions serve inference and the GAN trainer.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from knnsvc_tpu.precision import get_precision
+
+Params = dict[str, Any]
+
+LRELU_SLOPE = 0.1  # ref hifigan/ddsp_models.py:10
+
+
+def conv_weight(p: Params) -> jax.Array:
+    """Folded weight, or live weight-norm g*v/||v|| (norm over dims != 0,
+    torch weight_norm default dim=0)."""
+    if "w" in p:
+        return p["w"]
+    v = p["v"]
+    norm = jnp.sqrt(jnp.sum(v * v, axis=tuple(range(1, v.ndim)), keepdims=True))
+    return p["g"] * v / norm
+
+
+def conv1d(x: jax.Array, p: Params, stride: int = 1, padding: int = 0,
+           dilation: int = 1, groups: int = 1) -> jax.Array:
+    """x (B, C, T) -> (B, C', T')."""
+    w = conv_weight(p)
+    y = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+        precision=get_precision(),
+    )
+    if "b" in p:
+        y = y + p["b"][None, :, None]
+    return y
+
+
+def conv_transpose1d(x: jax.Array, p: Params, stride: int, padding: int) -> jax.Array:
+    """torch ConvTranspose1d(k, stride, padding) semantics: out_len =
+    (in-1)*stride - 2*padding + k. Torch weight layout (in, out, k) ->
+    lowered to a conv with lhs (input) dilation, flipped kernel."""
+    w = conv_weight(p)                       # (in, out, k)
+    k = w.shape[-1]
+    w_conv = jnp.flip(w, axis=-1).swapaxes(0, 1)  # (out, in, k)
+    y = jax.lax.conv_general_dilated(
+        x, w_conv,
+        window_strides=(1,),
+        padding=[(k - 1 - padding, k - 1 - padding)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+        precision=get_precision(),
+    )
+    if "b" in p:
+        y = y + p["b"][None, :, None]
+    return y
+
+
+def conv2d(x: jax.Array, p: Params, stride: tuple[int, int] = (1, 1),
+           padding: tuple[int, int] = (0, 0)) -> jax.Array:
+    """x (B, C, H, W), torch Conv2d layout (out, in, kh, kw)."""
+    w = conv_weight(p)
+    y = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=stride,
+        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
+        precision=get_precision(),
+    )
+    if "b" in p:
+        y = y + p["b"][None, :, None, None]
+    return y
+
+
+def leaky_relu(x: jax.Array, slope: float = LRELU_SLOPE) -> jax.Array:
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def get_padding(kernel_size: int, dilation: int = 1) -> int:
+    # ref hifigan/utils.py:37-38
+    return (kernel_size * dilation - dilation) // 2
+
+
+def resblock1_apply(x: jax.Array, p: Params, kernel_size: int,
+                    dilations: tuple[int, ...]) -> jax.Array:
+    """ResBlock1: pairs of (dilated conv, plain conv) with pre-activation
+    leaky-relu and residual adds (ref hifigan/ddsp_models.py:13-44)."""
+    for c1, c2, d in zip(p["convs1"], p["convs2"], dilations):
+        xt = leaky_relu(x)
+        xt = conv1d(xt, c1, padding=get_padding(kernel_size, d), dilation=d)
+        xt = leaky_relu(xt)
+        xt = conv1d(xt, c2, padding=get_padding(kernel_size, 1))
+        x = xt + x
+    return x
+
+
+def resblock2_apply(x: jax.Array, p: Params, kernel_size: int,
+                    dilations: tuple[int, ...]) -> jax.Array:
+    """ResBlock2: dilated convs only (ref hifigan/ddsp_models.py:55-72)."""
+    for c, d in zip(p["convs"], dilations):
+        xt = leaky_relu(x)
+        xt = conv1d(xt, c, padding=get_padding(kernel_size, d), dilation=d)
+        x = xt + x
+    return x
+
+
+def resblock3_apply(x: jax.Array, p: Params, kernel_size: int = 3,
+                    dilation: int = 1) -> jax.Array:
+    """ResBlock3: a single dilated conv (ref hifigan/ddsp_models.py:81-94)."""
+    for c in p["convs"]:
+        xt = leaky_relu(x)
+        xt = conv1d(xt, c, padding=get_padding(kernel_size, dilation), dilation=dilation)
+        x = xt + x
+    return x

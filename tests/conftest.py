@@ -1,17 +1,25 @@
 """Test environment: force JAX onto a virtual 8-device CPU platform so the
 multi-chip sharding paths (jax.sharding.Mesh) are exercised without TPUs
-(SURVEY.md §4 'Implication for the rebuild')."""
+(SURVEY.md §4 'Implication for the rebuild').
+
+This box routes JAX to a real TPU chip through the `axon` PJRT plugin, which
+is registered by a sitecustomize at *interpreter start* (before conftest runs)
+and overrides the JAX_PLATFORMS env var. The reliable override is
+jax.config.update("jax_platforms", "cpu") before the first backend use —
+env-var games are too late, and re-exec'ing pytest loses its captured fds."""
 
 import os
+import sys
 
-# Must happen before jax is imported anywhere.
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import pathlib
-import sys
 
 import pytest
 
@@ -19,6 +27,18 @@ REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 REFERENCE_ROOT = pathlib.Path("/root/reference")
 
 sys.path.insert(0, str(REPO_ROOT))
+
+
+def pytest_collection_modifyitems(config, items):
+    pass
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu_mesh():
+    import jax
+
+    assert jax.devices()[0].platform == "cpu", "tests must run on the virtual CPU mesh"
+    assert len(jax.devices()) == 8
 
 
 @pytest.fixture(scope="session")
@@ -32,7 +52,6 @@ def reference():
     if not REFERENCE_ROOT.exists():
         pytest.skip("reference repo not mounted")
 
-    # stub torchaudio and pyworld (imported at module scope by the reference)
     for name in ("torchaudio", "torchaudio.transforms", "torchaudio.functional", "pyworld"):
         if name not in sys.modules:
             mod = types.ModuleType(name)
