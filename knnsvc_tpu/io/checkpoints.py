@@ -156,3 +156,113 @@ def _to_numpy(tree):
     if isinstance(tree, (list, tuple)):
         return type(tree)(_to_numpy(v) for v in tree)
     return np.asarray(tree)
+
+
+# ------------------------------------------------------------------ HiFi-GAN
+
+
+def _conv(sd: Mapping[str, Any], prefix: str, fold: bool = True) -> Params:
+    """Plain or weight-normed torch conv -> pytree. Weight-norm is folded to
+    {'w'} when fold else kept live as {'g','v'}."""
+    p: Params = {}
+    if prefix + ".weight" in sd:
+        p["w"] = _np(sd[prefix + ".weight"])
+    else:
+        g, v = _np(sd[prefix + ".weight_g"]), _np(sd[prefix + ".weight_v"])
+        if fold:
+            p["w"] = fold_weight_norm(g, v, dim=0)
+        else:
+            p["g"], p["v"] = g, v
+    if prefix + ".bias" in sd:
+        p["b"] = _np(sd[prefix + ".bias"])
+    return p
+
+
+def convert_hifigan_state_dict(sd: Mapping[str, Any], h, family, fold: bool = True) -> Params:
+    """Reference SynthesizerTrn / Generator state_dict -> knnsvc_tpu pytree
+    (see models/hifigan/generator.py). `family` is a config.ModelFamily."""
+    from knnsvc_tpu.config import ModelFamily
+
+    n_up = len(h.upsample_rates)
+    n_k = len(h.resblock_kernel_sizes)
+    original = family == ModelFamily.ORIGINAL
+    pre = "" if original else "dec."
+
+    dec: Params = {
+        "conv_pre": _conv(sd, pre + "conv_pre", fold),
+        "ups": [_conv(sd, f"{pre}ups.{i}", fold) for i in range(n_up)],
+        "conv_post": _conv(sd, pre + "conv_post", fold),
+    }
+    resblocks = []
+    for i in range(n_up * n_k):
+        if f"{pre}resblocks.{i}.convs1.0.weight_v" in sd or f"{pre}resblocks.{i}.convs1.0.weight" in sd:
+            resblocks.append({
+                "convs1": [_conv(sd, f"{pre}resblocks.{i}.convs1.{j}", fold) for j in range(3)],
+                "convs2": [_conv(sd, f"{pre}resblocks.{i}.convs2.{j}", fold) for j in range(3)],
+            })
+        else:  # ResBlock2
+            resblocks.append({
+                "convs": [_conv(sd, f"{pre}resblocks.{i}.convs.{j}", fold) for j in range(2)],
+            })
+    dec["resblocks"] = resblocks
+
+    if original:
+        return {"dec": dec}
+
+    dec["lin_pre"] = _lin(sd, "dec.lin_pre")
+    dec["downs"] = [_conv(sd, f"dec.downs.{i}", fold) for i in range(n_up)]
+    dec["resblocks_downs"] = [
+        {"convs": [_conv(sd, f"dec.resblocks_downs.{i}.convs.0", fold)]} for i in range(n_up)
+    ]
+    dec["concat_pre"] = _conv(sd, "dec.concat_pre", fold)
+    dec["concat_conv"] = [_conv(sd, f"dec.concat_conv.{i}", fold) for i in range(n_up)]
+    return {"dec": dec, "sin_prenet": _conv(sd, "sin_prenet", fold)}
+
+
+def load_hifigan_checkpoint(path: str, h, family, fold: bool = True) -> Params:
+    """Load a reference g_*.pt ({'generator': state_dict} —
+    hifigan/utils.py:41-46, ddsp_hubconf.py:93-94)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt["generator"] if "generator" in ckpt else ckpt
+    return convert_hifigan_state_dict(sd, h, family, fold)
+
+
+def _conv_sn(sd: Mapping[str, Any], prefix: str) -> Params:
+    """Spectral-normed torch conv -> {'v_sn','u','v_pow','b'}."""
+    p: Params = {
+        "v_sn": _np(sd[prefix + ".weight_orig"]),
+        "u": _np(sd[prefix + ".weight_u"]),
+        "v_pow": _np(sd[prefix + ".weight_v"]),
+    }
+    if prefix + ".bias" in sd:
+        p["b"] = _np(sd[prefix + ".bias"])
+    return p
+
+
+def convert_mpd_state_dict(sd: Mapping[str, Any], fold: bool = False) -> Params:
+    """MultiPeriodDiscriminator (ref ddsp_models.py:532-541): 5 period discs
+    of 5 weight-normed Conv2d + conv_post."""
+    discs = []
+    for i in range(5):
+        discs.append({
+            "convs": [_conv(sd, f"discriminators.{i}.convs.{j}", fold) for j in range(5)],
+            "conv_post": _conv(sd, f"discriminators.{i}.conv_post", fold),
+        })
+    return {"discriminators": discs}
+
+
+def convert_msd_state_dict(sd: Mapping[str, Any], fold: bool = False) -> Params:
+    """MultiScaleDiscriminator (ref ddsp_models.py:587-598): disc 0 is
+    spectral-normed, discs 1-2 weight-normed."""
+    discs = []
+    for i in range(3):
+        cv = []
+        for j in range(7):
+            prefix = f"discriminators.{i}.convs.{j}"
+            cv.append(_conv_sn(sd, prefix) if i == 0 else _conv(sd, prefix, fold))
+        post_prefix = f"discriminators.{i}.conv_post"
+        post = _conv_sn(sd, post_prefix) if i == 0 else _conv(sd, post_prefix, fold)
+        discs.append({"convs": cv, "conv_post": post})
+    return {"discriminators": discs}

@@ -1,0 +1,168 @@
+"""Parity tests for the kNN converter stack vs the reference's torch
+implementations (lib_ongaku_test.py, ddsp_prematch_dataset.py)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from knnsvc_tpu.match import (
+    cosine_distance,
+    knn_topk,
+    torch_median,
+    shift_f0_to_target_register,
+    sort_by_f0_compatibility,
+    knn_with_concat_cost,
+)
+from knnsvc_tpu.match.distance import weighted_cosine_distance
+from knnsvc_tpu.match.smoothness import optimize_smoothness_weights, WAVLM_LOSS_SCALE
+
+
+@pytest.fixture(scope="module")
+def torch():
+    return pytest.importorskip("torch")
+
+
+def test_cosine_distance_vs_reference(reference, torch):
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((37, 64)).astype(np.float32)
+    p = rng.standard_normal((211, 64)).astype(np.float32)
+    ours = np.asarray(cosine_distance(jnp.asarray(q), jnp.asarray(p)))
+    ref = reference.lib_ongaku.fast_cosine_dist(torch.tensor(q), torch.tensor(p)).numpy()
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_weighted_cosine_distance_vs_reference(reference, torch):
+    import importlib
+
+    matcher = importlib.import_module("ddsp_matcher")
+    rng = np.random.default_rng(1)
+    q = rng.standard_normal((23, 32)).astype(np.float32)
+    p = rng.standard_normal((57, 32)).astype(np.float32)
+    w = (rng.random((23, 32)) + 0.5).astype(np.float32)
+    ours = np.asarray(weighted_cosine_distance(jnp.asarray(q), jnp.asarray(p), jnp.asarray(w)))
+    ref = matcher.fast_weighted_cosine_dist(torch.tensor(q), torch.tensor(p), torch.tensor(w)).numpy()
+    np.testing.assert_allclose(ours, ref, atol=5e-5)
+
+
+def test_knn_topk_vs_reference(reference, torch):
+    """Indices must match the reference's chunked cosine-dist + topk(32)
+    (ddsp_prematch_dataset.py:1195-1210)."""
+    rng = np.random.default_rng(2)
+    q = rng.standard_normal((85, 48)).astype(np.float32)
+    p = rng.standard_normal((500, 48)).astype(np.float32)
+
+    idx, vals = knn_topk(jnp.asarray(q), jnp.asarray(p), k=32)
+
+    dists = reference.lib_ongaku.fast_cosine_dist(torch.tensor(q), torch.tensor(p))
+    ref = dists.topk(k=32, dim=-1, largest=False)
+    np.testing.assert_array_equal(np.asarray(idx), ref.indices.numpy())
+    np.testing.assert_allclose(np.asarray(vals), ref.values.numpy(), atol=2e-5)
+
+
+def test_torch_median_semantics(torch):
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((5, 4)).astype(np.float32)  # even count: lower middle
+    ours = np.asarray(torch_median(jnp.asarray(x), axis=0))
+    ref = torch.median(torch.tensor(x), dim=0).values.numpy()
+    np.testing.assert_allclose(ours, ref)
+
+
+def test_f0_shift_vs_reference(torch):
+    """ref ddsp_prematch_dataset.py:1224-1233 inline logic."""
+    rng = np.random.default_rng(4)
+    q = np.zeros(101, dtype=np.float32)
+    q[10:60] = 150 + 50 * rng.random(50)
+    m = np.zeros(301, dtype=np.float32)
+    m[50:200] = 220 + 80 * rng.random(150)
+
+    ours = np.asarray(shift_f0_to_target_register(jnp.asarray(q), jnp.asarray(m)))
+
+    qt, mt = torch.tensor(q), torch.tensor(m)
+    q_med = torch.median(torch.log(qt[qt != 0]))
+    m_med = torch.median(torch.log(mt[mt != 0]))
+    ref = qt.clone()
+    ref[qt != 0] = torch.exp(torch.log(qt[qt != 0]) + m_med - q_med)
+    np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-5)
+    assert ours[0] == 0.0  # unvoiced stays zero
+
+
+def test_sort_by_f0_compatibility_vs_reference(reference, torch):
+    rng = np.random.default_rng(5)
+    T, k, P = 50, 8, 400
+    expected = np.zeros(T, dtype=np.float32)
+    expected[5:40] = 100 + 300 * rng.random(35)
+    f0_list = np.zeros(P, dtype=np.float32)
+    f0_list[::2] = 80 + 400 * rng.random(P // 2)
+    idx = rng.integers(0, P, size=(T, k)).astype(np.int64)
+
+    ours = np.asarray(sort_by_f0_compatibility(
+        jnp.asarray(expected), jnp.asarray(f0_list), jnp.asarray(idx.astype(np.int32))))
+    ref = reference.prematch.sort_by_f0_compatibility(
+        torch.tensor(expected), torch.tensor(f0_list), torch.tensor(idx)).numpy()
+    np.testing.assert_array_equal(ours, ref)
+
+
+@pytest.mark.parametrize("pitched", [False, True])
+def test_knn_with_concat_cost_vs_reference(reference, torch, pitched):
+    """The sequential CAT reselection as a lax.scan must reproduce the
+    reference's greedy loop (lib_ongaku_test.py:270-369), including the sticky
+    concat-weight zeroing in pitched mode."""
+    rng = np.random.default_rng(6)
+    T, k, P, D = 40, 4, 120, 24
+    src = rng.standard_normal((T, D)).astype(np.float32)
+    # smooth chunks so some frames get src_concat_baseline < 0.08
+    src[10:20] = src[10:11] + 0.05 * rng.standard_normal((10, D)).astype(np.float32)
+    tgt = rng.standard_normal((P, D)).astype(np.float32)
+    idx = rng.integers(0, P, size=(T, k)).astype(np.int64)
+
+    if pitched:
+        sf0 = np.zeros(T, dtype=np.float32)
+        sf0[5:35] = 150 + 100 * rng.random(30)
+        tf0 = np.zeros(P, dtype=np.float32)
+        tf0[::3] = 100 + 200 * rng.random((P + 2) // 3)
+        ours = np.asarray(knn_with_concat_cost(
+            jnp.asarray(idx.astype(np.int32)), jnp.asarray(src), jnp.asarray(tgt),
+            jnp.asarray(sf0), jnp.asarray(tf0), concat_weight=0.2))
+        ref = reference.lib_ongaku.knn_with_concat_cost(
+            torch.tensor(idx), torch.tensor(src), torch.tensor(tgt),
+            torch.tensor(sf0), torch.tensor(tf0), concat_weight=0.2).numpy()
+    else:
+        ours = np.asarray(knn_with_concat_cost(
+            jnp.asarray(idx.astype(np.int32)), jnp.asarray(src), jnp.asarray(tgt),
+            concat_weight=0.2))
+        ref = reference.lib_ongaku.knn_with_concat_cost(
+            torch.tensor(idx), torch.tensor(src), torch.tensor(tgt),
+            concat_weight=0.2).numpy()
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_smoothness_optimizer_vs_reference(reference, torch, capsys):
+    """The jitted while-loop optimizer must reach the reference Adam loop's
+    smoothness quality (trajectories can't be bit-compared over thousands of
+    fp32 steps; we compare converged loss)."""
+    rng = np.random.default_rng(7)
+    T, k, P, D = 24, 4, 80, 16
+    synth = rng.standard_normal((P, D)).astype(np.float32)
+    idx = rng.integers(0, P, size=(T, k)).astype(np.int64)
+
+    ours_w = np.asarray(optimize_smoothness_weights(
+        jnp.asarray(idx.astype(np.int32)), jnp.asarray(synth), scale=WAVLM_LOSS_SCALE))
+    ref_w = reference.prematch.compute_wavlm_weight(
+        torch.tensor(idx), torch.tensor(synth)).numpy()
+
+    assert ours_w.shape == ref_w.shape
+    np.testing.assert_allclose(ours_w.sum(axis=1), 1.0, atol=1e-5)  # simplex
+
+    # evaluate both weight sets under the same reference loss
+    def ref_loss(w):
+        import jax
+
+        from knnsvc_tpu.match.smoothness import _gather_surrounding, _loss_fn
+
+        surrounding = _gather_surrounding(jnp.asarray(idx.astype(np.int32)), jnp.asarray(synth), None)
+        # invert softmax: use logits = log(w) (same softmax output)
+        return float(_loss_fn(jnp.log(jnp.asarray(w) + 1e-12), surrounding, WAVLM_LOSS_SCALE))
+
+    ours_loss, refs_loss = ref_loss(ours_w), ref_loss(ref_w)
+    assert ours_loss <= refs_loss * 1.02 + 1e-6, (ours_loss, refs_loss)
