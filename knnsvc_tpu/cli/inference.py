@@ -1,0 +1,115 @@
+"""Conversion CLI — the reference's ddsp_inference.py surface
+(ref ddsp_inference.py:17-110), argument-for-argument:
+
+  python -m knnsvc_tpu.cli.inference SRC TGT --ckpt_dir D --ckpt_type mix \
+      --post_opt post_opt_0.2 --topk 4 --prioritize_f0 true \
+      --tgt_loudness_db -16 --dur_limit N --required_subset_file f.csv
+
+Both positionals are files (pair mode) or both are dataset roots (bulk mode);
+bulk output dir naming replicates ref :79-103 including the
+`duration_limit_N_` prefix. `--device` is accepted for compatibility but the
+device is whatever JAX platform is active (TPU under axon).
+
+Documented divergences: no sys.exit after pair conversion (ref
+ddsp_matcher.py:1022); `--topk` is honored instead of being ignored
+(ref ddsp_prematch_dataset.py:1246); loudness normalization actually applies
+when --apply_loudness is passed (the reference's is commented out).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def str2bool(v: str) -> bool:
+    v = v.lower()
+    if v in ("yes", "true", "t", "1", "y"):
+        return True
+    if v in ("no", "false", "f", "0", "n"):
+        return False
+    raise argparse.ArgumentTypeError("boolean value expected")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="kNN-SVC inference (TPU): file or folder mode")
+    parser.add_argument("src", help="content source: audio file OR dataset root of speaker folders")
+    parser.add_argument("tgt", help="style target: audio file OR dataset root of speaker folders")
+    parser.add_argument("--ckpt_dir", type=str, default=None,
+                        help="directory holding the HiFi-GAN + WavLM checkpoints")
+    parser.add_argument("--ckpt_type", type=str, default="mix",
+                        help="mix, mix_harm_no_amp_*, mix_no_harm_no_amp_*, wavlm_only, wavlm_only_original")
+    parser.add_argument("--post_opt", type=str, default="no_post_opt",
+                        help="no_post_opt or post_opt_<concat_weight>, e.g. post_opt_0.2")
+    parser.add_argument("--required_subset_file", type=str, default=None)
+    parser.add_argument("--topk", type=int, default=4)
+    parser.add_argument("--device", type=str, default="tpu", help="accepted for compatibility")
+    parser.add_argument("--prioritize_f0", type=str2bool, default=True)
+    parser.add_argument("--tgt_loudness_db", type=float, default=-16)
+    parser.add_argument("--apply_loudness", type=str2bool, default=False,
+                        help="actually apply loudness normalization (reference keeps it disabled)")
+    parser.add_argument("--dur_limit", type=int, default=None,
+                        help="duration limit (s) on the target pool")
+    parser.add_argument("--wavlm_ckpt", type=str, default=None)
+    parser.add_argument("--random_init", type=str2bool, default=False,
+                        help="random full-size weights (smoke tests / benchmarks; no checkpoints needed)")
+    parser.add_argument("--config", type=str, default=None, help="HiFi-GAN config json")
+    parser.add_argument("--precision", type=str, default="highest",
+                        choices=["highest", "high", "fastest"],
+                        help="matmul/conv precision: highest = fp32 parity, fastest = bf16 MXU")
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from knnsvc_tpu.precision import set_precision
+
+    set_precision(args.precision)
+
+    from knnsvc_tpu.hub import KnnSvc
+
+    if args.random_init:
+        knn = KnnSvc.random_init(args.ckpt_type)
+    else:
+        knn = KnnSvc.load(args.ckpt_dir, args.ckpt_type, args.wavlm_ckpt, args.config)
+
+    src_is_file, tgt_is_file = os.path.isfile(args.src), os.path.isfile(args.tgt)
+    src_is_dir, tgt_is_dir = os.path.isdir(args.src), os.path.isdir(args.tgt)
+
+    loudness = args.tgt_loudness_db if args.apply_loudness else None
+
+    if src_is_file and tgt_is_file:
+        out = knn.convert_pair(
+            args.src, args.tgt, topk=args.topk, prioritize_f0=args.prioritize_f0,
+            post_opt=args.post_opt, tgt_loudness_db=loudness,
+        )
+        print("->", out)
+        return 0
+
+    if src_is_dir and tgt_is_dir:
+        tgt_parent = f"{os.path.dirname(os.path.abspath(args.tgt))}/"
+        converted_audio_dir = (
+            f"{tgt_parent}"
+            f"{os.path.basename(args.src)}_to_{os.path.basename(args.tgt)}_"
+            f"{args.ckpt_type}_post_opt_{args.post_opt}/"
+        )
+        if args.dur_limit is not None:
+            converted_audio_dir = converted_audio_dir.replace(
+                tgt_parent, tgt_parent + f"duration_limit_{args.dur_limit}_"
+            )
+        written = knn.bulk_convert(
+            src_dataset_path=args.src, tgt_dataset_path=args.tgt,
+            converted_audio_dir=converted_audio_dir, topk=args.topk,
+            prioritize_f0=args.prioritize_f0, post_opt=args.post_opt,
+            required_subset_file=args.required_subset_file,
+            duration_limit=args.dur_limit, tgt_loudness_db=loudness,
+        )
+        print(f"wrote {len(written)} files under {converted_audio_dir}")
+        return 0
+
+    raise SystemExit("Both inputs must be files or both must be folders.")
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -56,22 +56,36 @@ def _bicubic_weights(factor: int) -> np.ndarray:
     return w.astype(np.float64)
 
 
+@functools.lru_cache(maxsize=8)
+def _bicubic_tap_matrix(factor: int) -> np.ndarray:
+    """5-tap filter bank W (factor, 5): out[t, p] = sum_d x[clip(t+d-2)] *
+    W[p, d]. Derived from the 4-tap cubic weights at src offset floor(src) in
+    {-1, 0} — reindexed onto the fixed absolute-offset window t-2..t+2 so the
+    upsample becomes 5 shifted copies + one einsum instead of a (T, factor, 4)
+    gather (which made XLA materialize a ~400 MB intermediate and compile for
+    minutes at 30-s lengths)."""
+    w4 = _bicubic_weights(factor)                       # (factor, 4)
+    p = np.arange(factor)
+    src_floor = np.floor((p + 0.5) / factor - 0.5).astype(int)  # -1 or 0
+    W = np.zeros((factor, 5))
+    for pp in range(factor):
+        for k in range(4):
+            d = src_floor[pp] - 1 + k                   # absolute offset in [-2, 2]
+            W[pp, d + 2] += w4[pp, k]
+    return W
+
+
 def upsample_bicubic(signal: jax.Array, factor: int) -> jax.Array:
     """(B, T, C) -> (B, T*factor, C) cubic upsampling along T; matches torch
     F.interpolate(mode='bicubic', align_corners=False) on a height-1 image
     (ref ddsp_prematch_dataset.py:135-141: only the width axis is scaled, so
-    the 2-D bicubic degenerates to 1-D cubic along T)."""
+    the 2-D bicubic degenerates to 1-D cubic along T). Border replication ==
+    torch's neighbor-index clamping."""
     B, T, C = signal.shape
-    w = jnp.asarray(_bicubic_weights(factor), dtype=signal.dtype)  # (factor, 4)
-    base = jnp.arange(T)
-    # neighbor indices for floor(src): src for phase p of frame t is t + (p+0.5)/f - 0.5;
-    # floor(src) = t-1 for p < f/2 (approx), t otherwise. Compute exactly:
-    p = jnp.arange(factor)
-    src_floor = jnp.floor((p + 0.5) / factor - 0.5).astype(jnp.int32)  # (factor,), -1 or 0
-    idx = base[:, None, None] + src_floor[None, :, None] + jnp.arange(-1, 3)[None, None, :]
-    idx = jnp.clip(idx, 0, T - 1)  # (T, factor, 4) border replication
-    gathered = signal[:, idx.reshape(-1), :].reshape(B, T, factor, 4, C)
-    out = jnp.einsum("btfkc,fk->btfc", gathered, w)
+    W = jnp.asarray(_bicubic_tap_matrix(factor), dtype=signal.dtype)  # (factor, 5)
+    padded = jnp.pad(signal, ((0, 0), (2, 2), (0, 0)), mode="edge")
+    shifts = jnp.stack([padded[:, d : d + T] for d in range(5)], axis=0)  # (5, B, T, C)
+    out = jnp.einsum("dbtc,pd->btpc", shifts, W)
     return out.reshape(B, T * factor, C)
 
 

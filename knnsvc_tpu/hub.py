@@ -1,0 +1,292 @@
+"""Model wrapper + factory (the reference's KNeighborsVC / ddsp_hubconf
+surface — ref ddsp_matcher.py:303-1156, ddsp_hubconf.py:17-128).
+
+`KnnSvc` bundles the WavLM encoder and a HiFi-GAN variant and exposes the
+conversion API:
+
+- convert_pair(src, ref)           == KNeighborsVC.special_match (minus the
+                                      reference's sys.exit, ref :1022-1023)
+- bulk_convert(src_root, tgt_root) == KNeighborsVC.bulk_match
+- get_features / get_matching_set / get_f0 / vocode — legacy knn-vc surface
+
+Checkpoints: torch .pt files are converted on load (io/checkpoints.py);
+framework-native pickled pytrees (.knnsvc.pkl) load without torch.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+from pathlib import Path
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from knnsvc_tpu import HOP_LENGTH, SAMPLE_RATE, SPEAKER_INFORMATION_LAYER
+from knnsvc_tpu.config import HiFiGANConfig, ModelFamily, WavLMConfig, model_family_for_ckpt_type, uses_harmonics
+from knnsvc_tpu.dsp.f0 import get_f0 as extract_f0
+from knnsvc_tpu.io.audio import load_audio, resample, save_audio, to_mono
+from knnsvc_tpu.io.loudness import normalize_loudness
+from knnsvc_tpu.io.vad import vad_trim
+from knnsvc_tpu.match.pipeline import ConversionFeatures, match_at_inference_time
+from knnsvc_tpu.match.pool import build_speaker_pool
+from knnsvc_tpu.models.hifigan import vocode as hifigan_vocode
+from knnsvc_tpu.models.wavlm import wavlm_extract_layer, wavlm_extract_all_layers
+from knnsvc_tpu.utils.layer_weights import generate_matrix_from_index
+
+
+def scan_checkpoint(ckpt_dir: str, substring: str) -> str | None:
+    """Latest file in ckpt_dir matching *substring* (ref hifigan/utils.py:55-60)."""
+    matches = glob.glob(os.path.join(ckpt_dir, f"*{substring}*"))
+    return sorted(matches)[-1] if matches else None
+
+
+class KnnSvc:
+    """kNN-SVC conversion engine (ref KNeighborsVC)."""
+
+    def __init__(
+        self,
+        wavlm_params,
+        wavlm_cfg: WavLMConfig,
+        hifigan_params,
+        hifigan_cfg: HiFiGANConfig,
+        ckpt_type: str = "mix",
+    ):
+        self.wavlm_params = wavlm_params
+        self.wavlm_cfg = wavlm_cfg
+        self.hifigan_params = hifigan_params
+        self.h = hifigan_cfg
+        self.ckpt_type = ckpt_type
+        self.family = model_family_for_ckpt_type(ckpt_type)
+        self.sr = hifigan_cfg.sampling_rate
+        self.hop_length = HOP_LENGTH
+        self.weighting = generate_matrix_from_index(SPEAKER_INFORMATION_LAYER)
+
+    # ------------------------------------------------------------- factory
+
+    @classmethod
+    def load(cls, ckpt_dir: str, ckpt_type: str = "mix",
+             wavlm_ckpt: str | None = None,
+             config_path: str | None = None) -> "KnnSvc":
+        """Build from a checkpoint directory (ref ddsp_hubconf.knn_vc).
+        The HiFi-GAN ckpt is picked by `scan_checkpoint(ckpt_dir, ckpt_type)`
+        (ref ddsp_hubconf.py:85); the WavLM ckpt defaults to WavLM-Large.pt in
+        the same directory."""
+        from knnsvc_tpu.io.checkpoints import (
+            load_hifigan_checkpoint,
+            load_params,
+            load_wavlm_checkpoint,
+        )
+
+        if config_path is None:
+            h = HiFiGANConfig()
+        else:
+            h = HiFiGANConfig.from_json(config_path)
+        family = model_family_for_ckpt_type(ckpt_type)
+
+        cp_g = scan_checkpoint(ckpt_dir, ckpt_type)
+        if cp_g is None:
+            raise FileNotFoundError(f"no checkpoint matching *{ckpt_type}* in {ckpt_dir}")
+        if cp_g.endswith(".knnsvc.pkl"):
+            hifigan_params = load_params(cp_g)
+        else:
+            hifigan_params = load_hifigan_checkpoint(cp_g, h, family)
+
+        if wavlm_ckpt is None:
+            wavlm_ckpt = os.path.join(ckpt_dir, "WavLM-Large.pt")
+        if wavlm_ckpt.endswith(".knnsvc.pkl"):
+            wavlm_params = load_params(wavlm_ckpt)
+            wavlm_cfg = WavLMConfig()
+        else:
+            wavlm_params, wavlm_cfg = load_wavlm_checkpoint(wavlm_ckpt)
+        return cls(wavlm_params, wavlm_cfg, hifigan_params, h, ckpt_type)
+
+    @classmethod
+    def random_init(cls, ckpt_type: str = "mix", seed: int = 0) -> "KnnSvc":
+        """Random weights at full architecture size (benchmarks / smoke tests)."""
+        import jax
+
+        from knnsvc_tpu.models.hifigan import init_generator_params
+        from knnsvc_tpu.models.wavlm import init_wavlm_params
+
+        wavlm_cfg = WavLMConfig()
+        h = HiFiGANConfig()
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        return cls(
+            init_wavlm_params(k1, wavlm_cfg), wavlm_cfg,
+            init_generator_params(k2, h, model_family_for_ckpt_type(ckpt_type)),
+            h, ckpt_type,
+        )
+
+    # ------------------------------------------------------------- features
+
+    def get_features(self, path_or_wave, weights: np.ndarray | None = None,
+                     vad_trigger_level: float = 0.0) -> np.ndarray:
+        """(T, 1024) features of a waveform/path; optional VAD edge trim
+        (ref ddsp_matcher.py:437-517)."""
+        if isinstance(path_or_wave, (str, Path)):
+            x, sr = load_audio(path_or_wave)
+            x = to_mono(x)[0]
+        else:
+            x = np.asarray(path_or_wave, dtype=np.float32).reshape(-1)
+            sr = self.sr
+        if sr != self.sr:
+            x = resample(x, sr, self.sr)
+        if vad_trigger_level > 1e-3:
+            x, _, _ = vad_trim(x, self.sr, vad_trigger_level)
+
+        w = self.weighting if weights is None else np.asarray(weights)
+        from knnsvc_tpu.utils.layer_weights import one_hot_layer
+
+        hot = one_hot_layer(w)
+        xj = jnp.asarray(x)[None]
+        if hot is not None and hot >= 1:
+            feats = wavlm_extract_layer(self.wavlm_params, self.wavlm_cfg, xj, output_layer=hot)
+            return np.asarray(feats[0])
+        stack = wavlm_extract_all_layers(self.wavlm_params, self.wavlm_cfg, xj)[:, 0]
+        return np.asarray(jnp.sum(stack * jnp.asarray(w.reshape(-1, 1, 1)), axis=0))
+
+    def get_matching_set(self, wavs: Sequence, weights=None,
+                         vad_trigger_level: float = 7.0) -> np.ndarray:
+        """Concatenated features over a list of paths/waveforms
+        (ref ddsp_matcher.py:331-342)."""
+        return np.concatenate(
+            [self.get_features(w, weights, vad_trigger_level) for w in wavs], axis=0
+        )
+
+    def get_f0(self, wav_file: str) -> np.ndarray:
+        x, sr = load_audio(wav_file)
+        assert sr == self.sr, (sr, self.sr)
+        return extract_f0(to_mono(x)[0], sr, audio_path=wav_file)
+
+    # ------------------------------------------------------------- vocoding
+
+    def vocode(self, feats: np.ndarray, f0: np.ndarray | None = None,
+               harmonics: np.ndarray | None = None) -> np.ndarray:
+        """(T, 1024)[, (T,)][, (T, 49)] -> waveform (T*hop,)
+        (ref ddsp_matcher.py:374-406 dispatch)."""
+        feats_j = jnp.asarray(feats)[None]
+        f0_j = None if f0 is None else jnp.asarray(f0).reshape(1, -1, 1)
+        harm_j = None if harmonics is None else jnp.asarray(harmonics)[None]
+        wav = hifigan_vocode(self.hifigan_params, self.h, self.family, feats_j, f0_j, harm_j)
+        return np.asarray(wav[0])
+
+    # ------------------------------------------------------------- conversion
+
+    def convert_features(self, src_path, ref_path, topk: int = 4,
+                         prioritize_f0: bool = True, post_opt: str = "no_post_opt",
+                         duration_limit: float | None = None,
+                         required_subset=None, query_pool=None, ref_pool=None
+                         ) -> dict[str, ConversionFeatures]:
+        return match_at_inference_time(
+            src_path, ref_path, self.wavlm_params, self.wavlm_cfg,
+            self.weighting, self.weighting, topk=topk, prioritize_f0=prioritize_f0,
+            ckpt_type=self.ckpt_type, required_subset=required_subset,
+            post_opt=post_opt, duration_limit=duration_limit,
+            query_pool=query_pool, ref_pool=ref_pool,
+        )
+
+    def convert_pair(self, src_wav_file: str, ref_wav_file: str, topk: int = 4,
+                     prioritize_f0: bool = True, post_opt: str = "no_post_opt",
+                     tgt_loudness_db: float | None = None,
+                     output_path: str | None = None) -> str:
+        """Single file -> single file (ref special_match :937-1023). Writes
+        `<src_dir>/<src>_to_<ref>_knn_<ckpt_type>_<post_opt>.wav` unless
+        output_path is given; returns the output path. (The reference
+        sys.exit()s afterwards; we return.) Loudness normalization is applied
+        only when tgt_loudness_db is set — the reference's is commented out
+        (ref :997-1003)."""
+        results = self.convert_features(
+            Path(src_wav_file), Path(ref_wav_file), topk=topk,
+            prioritize_f0=prioritize_f0, post_opt=post_opt,
+        )
+        feats = results[str(src_wav_file)]
+        pred = self.vocode(
+            feats.out_feats_weighted, feats.shifted_query_f0,
+            feats.harmonics_out_feats_weighted,
+        )
+        if tgt_loudness_db is not None:
+            pred = normalize_loudness(pred, self.sr, tgt_loudness_db)
+
+        if output_path is None:
+            src_id = os.path.basename(src_wav_file).split(".")[0]
+            ref_id = os.path.basename(ref_wav_file).split(".")[0]
+            output_path = os.path.join(
+                str(Path(src_wav_file).parent),
+                f"{src_id}_to_{ref_id}_knn_{self.ckpt_type}_{post_opt}.wav",
+            )
+        save_audio(output_path, pred, self.sr)
+        return output_path
+
+    def bulk_convert(self, src_dataset_path: str, tgt_dataset_path: str,
+                     converted_audio_dir: str, topk: int = 4,
+                     prioritize_f0: bool = True, post_opt: str = "no_post_opt",
+                     required_subset_file: str | None = None,
+                     duration_limit: float | None = None,
+                     tgt_loudness_db: float | None = None) -> list[str]:
+        """Dataset -> dataset conversion (ref bulk_match :1027-1156): every
+        (src speaker, tgt speaker) pair except same-index self pairs; outputs
+        `<dir>/<src_spk>/<utt>/<tgt_spk>.<ext>`. Source pools are built once
+        and reused across target speakers (the reference rebuilds or pickles
+        them per pair with the cache force-disabled — ref :1086-1087)."""
+        assert os.path.isdir(src_dataset_path) and os.path.isdir(tgt_dataset_path)
+        os.makedirs(converted_audio_dir, exist_ok=True)
+
+        def spk_folders(root):
+            return sorted(
+                p for p in Path(root).iterdir()
+                if p.is_dir() and "f0_cache" not in os.path.basename(p)
+            )
+
+        src_spks = spk_folders(src_dataset_path)
+        tgt_spks = spk_folders(tgt_dataset_path)
+        assert src_spks, f"{src_dataset_path} must be a dataset root of speaker folders"
+        assert tgt_spks, f"{tgt_dataset_path} must be a dataset root of speaker folders"
+
+        required = None
+        if required_subset_file:
+            import csv
+
+            with open(required_subset_file) as fp:
+                reader = csv.reader(fp, delimiter=",", quotechar='"')
+                required = [row[2] for i, row in enumerate(reader) if i != 0 and row[-1] == "0"]
+
+        written: list[str] = []
+        for i, spk in enumerate(src_spks):
+            src_pool = build_speaker_pool(
+                spk, self.wavlm_params, self.wavlm_cfg, self.weighting, self.weighting
+            )
+            for j, tgt_spk in enumerate(tgt_spks):
+                if src_dataset_path == tgt_dataset_path and i == j:
+                    continue
+                results = self.convert_features(
+                    spk, tgt_spk, topk=topk, prioritize_f0=prioritize_f0,
+                    post_opt=post_opt, duration_limit=duration_limit,
+                    required_subset=required, query_pool=src_pool,
+                )
+                for src_file, feats in results.items():
+                    pred = self.vocode(
+                        feats.out_feats_weighted, feats.shifted_query_f0,
+                        feats.harmonics_out_feats_weighted,
+                    )
+                    if tgt_loudness_db is not None:
+                        pred = normalize_loudness(pred, self.sr, tgt_loudness_db)
+                    out = os.path.join(
+                        converted_audio_dir,
+                        os.path.basename(spk),
+                        os.path.basename(src_file).split(".")[0],
+                        os.path.basename(tgt_spk) + "." + "wav",
+                    )
+                    os.makedirs(os.path.dirname(out), exist_ok=True)
+                    save_audio(out, pred, self.sr)
+                    written.append(out)
+        return written
+
+
+def knn_vc(ckpt_dir: str, ckpt_type: str = "mix", wavlm_ckpt: str | None = None,
+           config_path: str | None = None) -> KnnSvc:
+    """Factory matching ref ddsp_hubconf.knn_vc(ckpt_type, local_ckpt_dir)."""
+    return KnnSvc.load(ckpt_dir, ckpt_type, wavlm_ckpt, config_path)

@@ -1,0 +1,168 @@
+"""Inference-time conversion pipeline.
+
+Equivalent of the reference's `match_at_inference_time`
+(ddsp_prematch_dataset.py:1074-1459): per (source utterance x target pool),
+kNN-match WavLM frames, shift f0 into the target register, optionally
+reselect with the concatenation cost and optimize smoothness weights, and
+produce the vocoder inputs.
+
+Faithful ordering quirks (deliberately replicated):
+- the WavLM feature output uses the *unpitched* selection (top-4 of the raw
+  kNN, optionally concat-reselected — ref :1246,1292-1295,1348-1364), while
+  the harmonic amplitudes use the *f0-prioritized* selection (resorted from
+  the ORIGINAL 32 candidates, optionally pitched-concat-reselected —
+  ref :1375-1414,1430-1450);
+- prioritize_f0 is effectively mandatory (assert at ref :1375);
+- uniform mean weights (softmax of ones) when post_opt is disabled
+  (ref :1360-1364).
+
+Documented divergence: the reference ignores its `topk` argument and
+hardcodes 4 (ref :1246,1398); here `topk` is honored (default 4 == reference
+behavior).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from pathlib import Path
+from typing import Iterable
+
+import jax.numpy as jnp
+import numpy as np
+
+from knnsvc_tpu.config import PostOpt, uses_harmonics
+from knnsvc_tpu.match.concat_cost import knn_with_concat_cost
+from knnsvc_tpu.match.f0_logic import shift_f0_to_target_register, sort_by_f0_compatibility
+from knnsvc_tpu.match.knn import knn_topk
+from knnsvc_tpu.match.pool import SpeakerPool, build_speaker_pool
+from knnsvc_tpu.match.smoothness import (
+    HARMONICS_LOSS_SCALE,
+    WAVLM_LOSS_SCALE,
+    optimize_smoothness_weights,
+)
+
+KNN_CANDIDATES = 32  # ref :1203
+
+
+@dataclasses.dataclass
+class ConversionFeatures:
+    """Vocoder inputs for one source utterance."""
+
+    out_feats_weighted: np.ndarray          # (T, 1024)
+    shifted_query_f0: np.ndarray            # (T,)
+    harmonics_out_feats_weighted: np.ndarray | None = None  # (T, 49), mix only
+
+
+def subset_key(src_path: str, ref_path: str) -> str:
+    """Membership key for required_subset filtering (ref :1181)."""
+    return os.path.basename(src_path).split(".")[0] + "/" + os.path.basename(ref_path)
+
+
+def match_utterance(
+    query_seq: np.ndarray,
+    query_f0: np.ndarray,
+    matching_list: jnp.ndarray,
+    synth_list: jnp.ndarray,
+    matching_f0: jnp.ndarray,
+    harmonics_list: jnp.ndarray | None,
+    ckpt_type: str,
+    post_opt: PostOpt,
+    topk: int = 4,
+    prioritize_f0: bool = True,
+) -> ConversionFeatures:
+    """Convert one utterance against a prepared (concatenated) target pool."""
+    assert prioritize_f0, "prioritize_f0 is mandatory on the reference live path (ref :1375)"
+
+    q = jnp.asarray(query_seq)
+    nearest_nbrs, _ = knn_topk(q, matching_list, k=KNN_CANDIDATES)
+
+    qf0 = jnp.asarray(query_f0)
+    shifted_f0 = shift_f0_to_target_register(qf0, matching_f0)
+
+    target_idx = nearest_nbrs[:, :topk]
+    if post_opt.concat_weight != -1.0:
+        target_idx = knn_with_concat_cost(
+            target_idx, q, matching_list, concat_weight=post_opt.concat_weight
+        )
+
+    if post_opt.enabled:
+        weights = optimize_smoothness_weights(target_idx, synth_list, scale=WAVLM_LOSS_SCALE)
+    else:
+        weights = jnp.full(target_idx.shape, 1.0 / target_idx.shape[1])
+    out_feats = synth_list[target_idx]                               # (T, k, D)
+    out_feats_weighted = jnp.sum(out_feats * weights[..., None], axis=1)
+
+    harmonics_weighted = None
+    if uses_harmonics(ckpt_type):
+        assert harmonics_list is not None
+        pitched_idx = sort_by_f0_compatibility(shifted_f0, matching_f0, nearest_nbrs)[:, :topk]
+        if post_opt.concat_weight != -1.0:
+            pitched_idx = knn_with_concat_cost(
+                pitched_idx, q, matching_list, shifted_f0, matching_f0,
+                concat_weight=post_opt.concat_weight,
+            )
+        harm_feats = harmonics_list[pitched_idx]                     # (T, k, 49)
+        if post_opt.enabled:
+            h_weights = optimize_smoothness_weights(
+                pitched_idx, harmonics_list, scale=HARMONICS_LOSS_SCALE
+            )
+            harmonics_weighted = jnp.sum(harm_feats * h_weights[..., None], axis=1)
+        else:
+            harmonics_weighted = jnp.mean(harm_feats, axis=1)
+
+    return ConversionFeatures(
+        out_feats_weighted=np.asarray(out_feats_weighted, dtype=np.float32),
+        shifted_query_f0=np.asarray(shifted_f0, dtype=np.float32),
+        harmonics_out_feats_weighted=(
+            None if harmonics_weighted is None else np.asarray(harmonics_weighted, dtype=np.float32)
+        ),
+    )
+
+
+def match_at_inference_time(
+    src_path: str | Path,
+    ref_path: str | Path,
+    wavlm_params,
+    wavlm_cfg,
+    match_weights: np.ndarray,
+    synth_weights: np.ndarray,
+    topk: int = 4,
+    prioritize_f0: bool = True,
+    ckpt_type: str = "wavlm_only",
+    required_subset: Iterable[str] | None = None,
+    post_opt: str = "no_post_opt",
+    duration_limit: float | None = None,
+    query_pool: SpeakerPool | None = None,
+    ref_pool: SpeakerPool | None = None,
+) -> dict[str, ConversionFeatures]:
+    """Full source x target conversion. Returns {src utterance path:
+    ConversionFeatures}. Pools may be passed in to reuse across pairs (fixes
+    the reference's force-disabled cache, ref :1086-1087)."""
+    popt = PostOpt.parse(post_opt)
+    required = set(required_subset) if required_subset is not None else None
+
+    if query_pool is None:
+        query_pool = build_speaker_pool(
+            src_path, wavlm_params, wavlm_cfg, match_weights, synth_weights
+        )
+    if ref_pool is None:
+        ref_pool = build_speaker_pool(
+            ref_path, wavlm_params, wavlm_cfg, match_weights, synth_weights,
+            duration_limit=duration_limit,
+        )
+
+    matching_list = jnp.asarray(ref_pool.matching)
+    synth_list = jnp.asarray(ref_pool.synth)
+    matching_f0 = jnp.asarray(ref_pool.f0)
+    harmonics_list = jnp.asarray(ref_pool.harmonics) if uses_harmonics(ckpt_type) else None
+
+    results: dict[str, ConversionFeatures] = {}
+    for item, pools in query_pool.utterances.items():
+        if required is not None and subset_key(item, str(ref_path)) not in required:
+            continue
+        results[item] = match_utterance(
+            pools.matching, pools.f0, matching_list, synth_list, matching_f0,
+            harmonics_list, ckpt_type, popt, topk=topk, prioritize_f0=prioritize_f0,
+        )
+    return results

@@ -1,0 +1,245 @@
+"""Speaker feature-pool builder.
+
+Equivalent of the reference's `get_complete_spk_pool` + `get_full_wavlm_features`
+(ddsp_prematch_dataset.py:269-414): for every utterance of a speaker produce six
+aligned frame pools —
+
+  matching   (T, 1024)  layer-weighted WavLM features for kNN
+  synth      (T, 1024)  layer-weighted WavLM features for synthesis
+  audio      (T, 320)   raw waveform frames
+  spec       (T, 200)   linear |STFT| frames (n_fft 400, hop 320, Nyquist cut)
+  f0         (T,)       Hz, 0 = unvoiced (sidecar / Harvest / YIN)
+  harmonics  (T, 49)    |STFT| sampled at k*f0 via 8x-interpolated spectrum,
+                        x0.0108; unvoiced rows: [max-bin, 0...0]
+
+TPU design notes:
+- WavLM runs on 30-s chunks padded to a hop multiple (pad is a FULL extra hop
+  when already aligned — replicating ref :284 exactly, since pool frame counts
+  must line up with the reference's).
+- A one-hot layer weighting short-circuits to the early-exit encoder (6 of 24
+  layers); arbitrary weightings use the all-layer stack.
+- Everything device-side is jitted per chunk shape; 30-s chunks share one
+  compilation, so only final partial chunks trigger new shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from pathlib import Path
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from knnsvc_tpu import HOP_LENGTH, SAMPLE_RATE
+from knnsvc_tpu.config import WavLMConfig
+from knnsvc_tpu.dsp.f0 import get_f0
+from knnsvc_tpu.dsp.stft import linear_spectrogram
+from knnsvc_tpu.io.audio import load_audio, resample, to_mono
+from knnsvc_tpu.models.wavlm import wavlm_extract_layer, wavlm_extract_all_layers
+from knnsvc_tpu.utils.layer_weights import one_hot_layer
+
+AUDIO_EXTENSIONS = {".flac", ".wav", ".mp3"}  # ref ddsp_prematch_dataset.py:313
+CHUNK_SECONDS = 30                            # ref :277
+MIN_CHUNK_SECONDS = 0.02                      # ref :279
+N_HARMONICS = 49                              # ref :391 (arange(1, 50))
+HARMONIC_SCALE = 0.0108                       # ref :404
+SPEC_INTERP_FACTOR = 8                        # ref :395
+
+
+@dataclasses.dataclass
+class UtterancePools:
+    matching: np.ndarray
+    synth: np.ndarray
+    audio: np.ndarray
+    spec: np.ndarray
+    f0: np.ndarray
+    harmonics: np.ndarray
+
+
+@dataclasses.dataclass
+class SpeakerPool:
+    """Per-utterance pools plus concatenated views (ref :1143-1168)."""
+
+    utterances: dict[str, UtterancePools]
+
+    def _cat(self, field: str) -> np.ndarray:
+        return np.concatenate([getattr(u, field) for u in self.utterances.values()], axis=0)
+
+    @property
+    def matching(self) -> np.ndarray:
+        return self._cat("matching")
+
+    @property
+    def synth(self) -> np.ndarray:
+        return self._cat("synth")
+
+    @property
+    def audio(self) -> np.ndarray:
+        return self._cat("audio")
+
+    @property
+    def spec(self) -> np.ndarray:
+        return self._cat("spec")
+
+    @property
+    def f0(self) -> np.ndarray:
+        return self._cat("f0")
+
+    @property
+    def harmonics(self) -> np.ndarray:
+        return self._cat("harmonics")
+
+    @property
+    def utterance_start_indices(self) -> list[int]:
+        starts = [0]
+        for u in self.utterances.values():
+            starts.append(starts[-1] + len(u.matching))
+        return starts
+
+
+def list_speaker_utterances(path: str | Path) -> list[Path]:
+    """Single audio file, or every audio file under a folder (sorted)
+    (ref :313-323)."""
+    path = Path(path)
+    if path.is_file() and path.suffix.lower() in AUDIO_EXTENSIONS:
+        return [path]
+    utts = sorted(p for p in path.rglob("**/*") if p.suffix.lower() in AUDIO_EXTENSIONS)
+    assert len(utts) != 0, f"directory not containing any audio {path}"
+    return utts
+
+
+def load_utterance(path: str | Path, target_sr: int = SAMPLE_RATE) -> np.ndarray:
+    """Load -> mono -> resample to 16 kHz. Returns (T,) float32 (ref :332-341)."""
+    x, sr = load_audio(path)
+    x = to_mono(x)
+    if sr != target_sr:
+        x = resample(x, sr, target_sr)
+    return np.asarray(x[0], dtype=np.float32)
+
+
+def chunked_wavlm_features(
+    wav: np.ndarray,
+    wavlm_params,
+    wavlm_cfg: WavLMConfig,
+    match_weights: np.ndarray,
+    synth_weights: np.ndarray,
+    sr: int = SAMPLE_RATE,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(T_samples,) -> (matching (T,D), synth (T,D)) via 30-s chunks
+    (ref get_full_wavlm_features :269-296). One-hot weightings use the
+    early-exit encoder; otherwise the all-layer weighted sum."""
+    m_hot = one_hot_layer(match_weights)
+    s_hot = one_hot_layer(synth_weights)
+
+    matching_chunks, synth_chunks = [], []
+    start = 0
+    chunk_len = CHUNK_SECONDS * sr
+    while start < len(wav):
+        chunk = wav[start : start + chunk_len]
+        if len(chunk) <= MIN_CHUNK_SECONDS * sr:
+            break
+        n_pad = HOP_LENGTH - (len(chunk) % HOP_LENGTH)  # full hop when aligned (ref :284)
+        chunk = np.pad(chunk, (0, n_pad))
+        x = jnp.asarray(chunk)[None]
+
+        if m_hot is not None and s_hot is not None:
+            layers_needed = sorted({m_hot, s_hot})
+            feats = {}
+            top = max(layers_needed)
+            assert top >= 1, "layer-0 weighting selects the transformer input"
+            out = wavlm_extract_layer(wavlm_params, wavlm_cfg, x, output_layer=top)
+            feats[top] = np.asarray(out[0])
+            if len(layers_needed) == 2:
+                low = min(layers_needed)
+                out_low = wavlm_extract_layer(wavlm_params, wavlm_cfg, x, output_layer=low)
+                feats[low] = np.asarray(out_low[0])
+            matching_chunks.append(feats[m_hot])
+            synth_chunks.append(feats[s_hot])
+        else:
+            stack = wavlm_extract_all_layers(wavlm_params, wavlm_cfg, x)  # (L+1, 1, T, D)
+            stack = stack[:, 0]
+            mw = jnp.asarray(np.asarray(match_weights).reshape(-1, 1, 1))
+            sw = jnp.asarray(np.asarray(synth_weights).reshape(-1, 1, 1))
+            matching_chunks.append(np.asarray(jnp.sum(stack * mw, axis=0)))
+            synth_chunks.append(np.asarray(jnp.sum(stack * sw, axis=0)))
+        start += chunk_len
+
+    return np.concatenate(matching_chunks, axis=0), np.concatenate(synth_chunks, axis=0)
+
+
+def harmonic_amplitudes(spec: np.ndarray, f0: np.ndarray, sr: int = SAMPLE_RATE) -> np.ndarray:
+    """(T, 200) linear spec + (T,) f0 -> (T, 49) harmonic magnitudes
+    (ref :391-404): gather the 8x linearly-interpolated spectrum at bins of
+    k*f0; unvoiced rows get [max spec bin, 0, ..., 0]; x0.0108."""
+    T, n_bins = spec.shape
+    L = n_bins * SPEC_INTERP_FACTOR
+
+    # torch F.interpolate(mode='linear', align_corners=False) on the bin axis
+    out_pos = (np.arange(L) + 0.5) / SPEC_INTERP_FACTOR - 0.5
+    lo = np.clip(np.floor(out_pos).astype(int), 0, n_bins - 1)
+    hi = np.clip(lo + 1, 0, n_bins - 1)
+    frac = np.clip(out_pos - np.floor(out_pos), 0.0, 1.0)
+    frac = np.where(out_pos < 0, 0.0, frac)
+    interp = spec[:, lo] * (1 - frac) + spec[:, hi] * frac            # (T, L)
+
+    harmonics = f0[:, None] * np.arange(1, N_HARMONICS + 1)[None, :]  # (T, 49) Hz
+    idx = np.round(np.clip(harmonics * 2 * L / sr, a_min=None, a_max=L)).astype(int)
+    padded = np.pad(interp, ((0, 0), (0, 1)))
+    gathered = np.take_along_axis(padded, idx, axis=1)                # (T, 49)
+
+    unvoiced = f0 == 0
+    gathered[unvoiced, 1:] = 0.0
+    gathered[unvoiced, 0] = spec[unvoiced].max(axis=1)
+    return (HARMONIC_SCALE * gathered).astype(np.float32)
+
+
+def build_speaker_pool(
+    path: str | Path,
+    wavlm_params,
+    wavlm_cfg: WavLMConfig,
+    match_weights: np.ndarray,
+    synth_weights: np.ndarray,
+    duration_limit: float | None = None,
+    f0_fn: Callable[[np.ndarray, int, str], np.ndarray] | None = None,
+    sr: int = SAMPLE_RATE,
+) -> SpeakerPool:
+    """== ref get_complete_spk_pool (:301-414). duration_limit in seconds cuts
+    the pool after the utterance that crosses it (ref :408-411)."""
+    utterances: dict[str, UtterancePools] = {}
+    accumulated = 0.0
+
+    for pth in list_speaker_utterances(path):
+        wav = load_utterance(pth, sr)
+        matching, synth = chunked_wavlm_features(
+            wav, wavlm_params, wavlm_cfg, match_weights, synth_weights, sr
+        )
+        T = len(matching)
+        assert len(wav) >= HOP_LENGTH * T, (len(wav), T)
+        audio_frames = wav[: HOP_LENGTH * T].reshape(T, HOP_LENGTH)
+
+        spec = np.asarray(linear_spectrogram(jnp.asarray(wav)))
+        assert spec.shape[0] >= T
+        spec = spec[:T]
+
+        if f0_fn is None:
+            f0 = get_f0(wav, sr, audio_path=str(pth))
+        else:
+            f0 = f0_fn(wav, sr, str(pth))
+        assert abs(len(f0) - T) <= 1 and len(f0) >= T, (len(f0), T)
+        f0 = np.asarray(f0[:T], dtype=np.float32)
+
+        harm = harmonic_amplitudes(spec, f0, sr)
+
+        utterances[str(pth)] = UtterancePools(
+            matching=matching, synth=synth, audio=audio_frames.astype(np.float32),
+            spec=spec.astype(np.float32), f0=f0, harmonics=harm,
+        )
+
+        accumulated += T * HOP_LENGTH / sr
+        if duration_limit is not None and accumulated >= duration_limit:
+            break
+
+    return SpeakerPool(utterances)

@@ -244,6 +244,7 @@ def _scan_layers(x: jax.Array, stacked: Params, pos_bias: jax.Array | None,
     return jax.lax.scan(body, x, stacked)
 
 
+@functools.partial(jax.jit, static_argnums=(1,), static_argnames=("output_layer",))
 def wavlm_extract_layer(params: Params, cfg: WavLMConfig, wav: jax.Array,
                         output_layer: int) -> jax.Array:
     """Features at encoder layer `output_layer` (1-based, matching the
@@ -265,6 +266,7 @@ def wavlm_extract_layer(params: Params, cfg: WavLMConfig, wav: jax.Array,
     return x
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
 def wavlm_extract_all_layers(params: Params, cfg: WavLMConfig, wav: jax.Array) -> jax.Array:
     """All layer outputs: (n_layers+1, B, T, C) — entry 0 is the transformer
     input (post pos-conv), entries 1..L the per-layer outputs. Matches the

@@ -1,0 +1,170 @@
+"""End-to-end pipeline wiring tests on synthetic speakers (CPU, random
+weights). Full-size model parity is covered by the per-module tests; here we
+exercise pool building -> kNN match -> (optional post_opt) -> vocode -> WAV."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from knnsvc_tpu.config import HiFiGANConfig, WavLMConfig
+from knnsvc_tpu.io.audio import save_audio
+from knnsvc_tpu.match.pool import build_speaker_pool, harmonic_amplitudes
+from knnsvc_tpu.match.pipeline import match_at_inference_time
+from knnsvc_tpu.models.wavlm import init_wavlm_params
+from knnsvc_tpu.utils.layer_weights import generate_matrix_from_index
+
+SMALL_WAVLM = dict(
+    extractor_mode="layer_norm",
+    encoder_layers=3,
+    encoder_embed_dim=64,
+    encoder_ffn_embed_dim=128,
+    encoder_attention_heads=4,
+    layer_norm_first=True,
+    conv_feature_layers="[(32,10,5)] + [(32,4,4)] + [(32,4,4)] + [(32,4,4)]",  # stride 320
+    conv_bias=True,
+    conv_pos=16,
+    conv_pos_groups=4,
+    relative_position_embedding=True,
+    num_buckets=32,
+    max_distance=64,
+    gru_rel_pos=True,
+)
+
+SMALL_HIFIGAN = dict(
+    upsample_rates=(10, 8, 2, 2),
+    upsample_kernel_sizes=(20, 16, 4, 4),
+    upsample_initial_channel=64,
+    resblock_kernel_sizes=(3,),
+    resblock_dilation_sizes=((1, 3, 5),),
+    n_harmonic=4,
+    hubert_dim=64,
+    hifi_dim=32,
+)
+
+
+def _sing(sr, seconds, f0_hz, seed):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(sr * seconds)) / sr
+    wav = 0.3 * np.sin(2 * np.pi * f0_hz * t) + 0.1 * np.sin(2 * np.pi * 2 * f0_hz * t)
+    wav += 0.02 * rng.standard_normal(len(t))
+    return np.clip(wav, -0.99, 0.99).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def tiny_world(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    src_dir = root / "src_spk"
+    tgt_dir = root / "tgt_spk"
+    src_dir.mkdir()
+    tgt_dir.mkdir()
+    sr = 16000
+    save_audio(src_dir / "utt1.wav", _sing(sr, 1.0, 180, 0), sr)
+    save_audio(src_dir / "utt2.wav", _sing(sr, 0.7, 200, 1), sr)
+    save_audio(tgt_dir / "ref1.wav", _sing(sr, 1.3, 260, 2), sr)
+    save_audio(tgt_dir / "ref2.wav", _sing(sr, 0.9, 240, 3), sr)
+
+    cfg = WavLMConfig.from_dict(SMALL_WAVLM)
+    params = init_wavlm_params(jax.random.PRNGKey(0), cfg)
+    weights = generate_matrix_from_index(2, size=cfg.encoder_layers + 1)
+    return root, src_dir, tgt_dir, cfg, params, weights
+
+
+def test_build_speaker_pool_alignment(tiny_world):
+    root, src_dir, tgt_dir, cfg, params, w = tiny_world
+    pool = build_speaker_pool(src_dir, params, cfg, w, w)
+    assert set(map(lambda p: p.split("/")[-1], pool.utterances)) == {"utt1.wav", "utt2.wav"}
+    for u in pool.utterances.values():
+        T = len(u.matching)
+        assert u.synth.shape == (T, cfg.encoder_embed_dim)
+        assert u.audio.shape == (T, 320)
+        assert u.spec.shape == (T, 200)
+        assert u.f0.shape == (T,)
+        assert u.harmonics.shape == (T, 49)
+    starts = pool.utterance_start_indices
+    assert starts[-1] == len(pool.matching)
+    # yin should find the synthetic pitch (~180/200 Hz) on voiced frames
+    f0 = pool.f0
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 10
+    assert 150 < np.median(voiced) < 230
+
+
+def test_duration_limit_cuts_pool(tiny_world):
+    root, src_dir, tgt_dir, cfg, params, w = tiny_world
+    full = build_speaker_pool(tgt_dir, params, cfg, w, w)
+    limited = build_speaker_pool(tgt_dir, params, cfg, w, w, duration_limit=1.0)
+    assert len(limited.utterances) < len(full.utterances)
+
+
+def test_harmonic_amplitudes_vs_reference(reference):
+    """torch equivalent of ref ddsp_prematch_dataset.py:391-404."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(4)
+    T = 30
+    spec = (rng.random((T, 200)) * 2).astype(np.float32)
+    f0 = np.zeros(T, dtype=np.float32)
+    f0[5:25] = 100 + 500 * rng.random(20)
+
+    ours = harmonic_amplitudes(spec, f0)
+
+    st = torch.tensor(spec)
+    ft = torch.tensor(f0)
+    mh = ft[:, None] * torch.arange(1, 50)[None, :]
+    interp = F.interpolate(st[None, :], scale_factor=8, mode="linear").squeeze(0)
+    idx = torch.round(torch.clamp(mh * 2 * interp.shape[-1] / 16000, max=interp.shape[-1])).to(int)
+    g = torch.gather(F.pad(interp, (0, 1)), dim=-1, index=idx)
+    g[:, 1:][ft == 0] = 0
+    g[:, 0][ft == 0] = torch.max(st, dim=1)[0][ft == 0]
+    ref = (0.0108 * g).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("ckpt_type,post_opt", [
+    ("wavlm_only", "no_post_opt"),
+    ("mix", "no_post_opt"),
+    ("mix", "post_opt_0.2"),
+])
+def test_match_at_inference_time_end_to_end(tiny_world, ckpt_type, post_opt):
+    root, src_dir, tgt_dir, cfg, params, w = tiny_world
+    results = match_at_inference_time(
+        src_dir, tgt_dir, params, cfg, w, w, topk=4,
+        ckpt_type=ckpt_type, post_opt=post_opt,
+    )
+    assert len(results) == 2
+    for path, feats in results.items():
+        T = len(feats.out_feats_weighted)
+        assert feats.out_feats_weighted.shape == (T, cfg.encoder_embed_dim)
+        assert feats.shifted_query_f0.shape == (T,)
+        assert np.all(np.isfinite(feats.out_feats_weighted))
+        if ckpt_type == "mix":
+            assert feats.harmonics_out_feats_weighted.shape == (T, 49)
+        else:
+            assert feats.harmonics_out_feats_weighted is None
+
+
+def test_full_conversion_writes_wav(tiny_world, tmp_path, monkeypatch):
+    """hub-level pair conversion with a small random vocoder: file in, file out."""
+    root, src_dir, tgt_dir, cfg, params, w = tiny_world
+    from knnsvc_tpu.config import ModelFamily
+    from knnsvc_tpu.hub import KnnSvc
+    from knnsvc_tpu.models.hifigan import init_generator_params
+
+    h = HiFiGANConfig.from_dict(SMALL_HIFIGAN)
+    gen = init_generator_params(jax.random.PRNGKey(1), h, ModelFamily.MIX)
+    knn = KnnSvc(params, cfg, gen, h, ckpt_type="mix")
+    knn.weighting = w  # small model has 3 layers
+
+    out = knn.convert_pair(str(src_dir / "utt1.wav"), str(tgt_dir / "ref1.wav"),
+                           output_path=str(tmp_path / "out.wav"))
+    from knnsvc_tpu.io.audio import load_audio
+
+    y, sr = load_audio(out)
+    assert sr == 16000
+    src_len = load_audio(src_dir / "utt1.wav")[0].shape[-1]
+    # output frames = src frames; samples = frames*320 (within one chunk-pad)
+    assert abs(y.shape[-1] - src_len) <= 640
+    assert np.max(np.abs(y)) <= 1.0
