@@ -34,10 +34,15 @@ def _spectral_norm_weight(p: Params, update: bool):
     w, u, v = p["v_sn"], p["u"], p["v_pow"]
     w_mat = w.reshape(w.shape[0], -1)
     if update:
-        v = w_mat.T @ u
+        # power iteration runs without gradient (torch does it under no_grad)
+        wm = jax.lax.stop_gradient(w_mat)
+        v = wm.T @ u
         v = v / (jnp.linalg.norm(v) + 1e-12)
-        u = w_mat @ v
+        u = wm @ v
         u = u / (jnp.linalg.norm(u) + 1e-12)
+    # sigma keeps the gradient path through w; u, v are constants
+    u = jax.lax.stop_gradient(u)
+    v = jax.lax.stop_gradient(v)
     sigma = u @ (w_mat @ v)
     return w / sigma, u, v
 
@@ -144,7 +149,9 @@ def msd_apply(params: Params, y: jax.Array, y_hat: jax.Array, update_sn: bool = 
 # ------------------------------------------------------------------ init
 
 
-def init_mpd_params(key: jax.Array, weight_norm_parametrized: bool = True) -> Params:
+def init_mpd_params(key: jax.Array, weight_norm_parametrized: bool = True,
+                    width_scale: int = 1) -> Params:
+    """width_scale > 1 shrinks channels (tiny dry-run/test models)."""
     keys = iter(jax.random.split(key, 128))
 
     def conv2(out_c, in_c, kh):
@@ -156,16 +163,19 @@ def init_mpd_params(key: jax.Array, weight_norm_parametrized: bool = True) -> Pa
         p["b"] = jnp.zeros((out_c,))
         return p
 
+    top = 1024 // width_scale
+    chans = [1] + [c // width_scale for c in _MPD_CHANNELS] + [top]
     discs = []
     for _ in MPD_PERIODS:
-        chans = [1, *_MPD_CHANNELS, 1024]
         convs = [conv2(chans[i + 1], chans[i], 5) for i in range(4)]
-        convs.append(conv2(1024, 1024, 5))
-        discs.append({"convs": convs, "conv_post": conv2(1, 1024, 3)})
+        convs.append(conv2(top, top, 5))
+        discs.append({"convs": convs, "conv_post": conv2(1, top, 3)})
     return {"discriminators": discs}
 
 
-def init_msd_params(key: jax.Array, weight_norm_parametrized: bool = True) -> Params:
+def init_msd_params(key: jax.Array, weight_norm_parametrized: bool = True,
+                    width_scale: int = 1) -> Params:
+    """width_scale must keep channels divisible by the conv groups (<=8 ok)."""
     keys = iter(jax.random.split(key, 128))
 
     def conv1(out_c, in_c, k, spectral: bool):
@@ -187,7 +197,8 @@ def init_msd_params(key: jax.Array, weight_norm_parametrized: bool = True) -> Pa
         in_c = 1
         convs = []
         for (out, k, s, g, pad) in _MSD_SPECS:
-            convs.append(conv1(out, in_c // g, k, spectral))
-            in_c = out
-        discs.append({"convs": convs, "conv_post": conv1(1, 1024, 3, spectral)})
+            out_s = max(g, out // width_scale)
+            convs.append(conv1(out_s, in_c // g, k, spectral))
+            in_c = out_s
+        discs.append({"convs": convs, "conv_post": conv1(1, in_c, 3, spectral)})
     return {"discriminators": discs}
