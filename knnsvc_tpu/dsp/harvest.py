@@ -1,0 +1,69 @@
+"""ctypes binding to the native worldline f0 extractor (native/worldline).
+
+Provides `harvest_f0` — the drop-in used by dsp/f0.get_f0 when the native
+library is built (`make -C native`). Same contract as the reference's pyworld
+call (ref ddsp_prematch_dataset.py:121-128): floor 65 Hz, ceil 1047 Hz, frame
+period hop/sr*1000 ms, estimates below 80 Hz zeroed; n_frames = T//hop + 1.
+
+Builds lazily on first use if the toolchain is present.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+
+import numpy as np
+
+from knnsvc_tpu.dsp.f0 import F0_CEIL, F0_FLOOR, F0_ZERO_BELOW
+
+_NATIVE_DIR = pathlib.Path(__file__).resolve().parent.parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "build" / "libworldline.so"
+
+_lib = None
+
+
+def _load_library() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists():
+        # lazy build (no-op if toolchain missing -> OSError below)
+        try:
+            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                           capture_output=True, timeout=300)
+        except (subprocess.SubprocessError, FileNotFoundError) as e:
+            raise OSError(f"worldline native lib not built: {e}") from e
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.worldline_n_frames.restype = ctypes.c_int
+    lib.worldline_n_frames.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_double]
+    lib.worldline_dio.restype = ctypes.c_int
+    lib.worldline_dio.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    _lib = lib
+    return lib
+
+
+def harvest_f0(x: np.ndarray, sr: int, hop: int = 320,
+               f0_floor: float = F0_FLOOR, f0_ceil: float = F0_CEIL) -> np.ndarray:
+    """x (T,) -> f0 (T//hop + 1,) Hz, 0 = unvoiced."""
+    lib = _load_library()
+    xd = np.ascontiguousarray(np.asarray(x, dtype=np.float64).reshape(-1))
+    frame_period_ms = hop / sr * 1000.0
+    n_frames = lib.worldline_n_frames(len(xd), sr, frame_period_ms)
+    out = np.zeros(n_frames, dtype=np.float64)
+    rc = lib.worldline_dio(
+        xd.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(xd), sr,
+        frame_period_ms, f0_floor, f0_ceil,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"worldline_dio failed with code {rc}")
+    f0 = out.astype(np.float32)
+    f0[f0 < F0_ZERO_BELOW] = 0.0
+    return f0

@@ -1,0 +1,80 @@
+"""f0 extraction tests: sidecar handling, YIN fallback, native worldline DIO."""
+
+import numpy as np
+import pytest
+
+from knnsvc_tpu.dsp.f0 import get_f0, load_f0_sidecar, save_f0_sidecar, yin_f0
+
+
+def _tone(freq, seconds=1.0, sr=16000, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(sr * seconds)) / sr
+    return (0.4 * np.sin(2 * np.pi * freq * t) + 0.005 * rng.standard_normal(len(t))).astype(np.float32)
+
+
+def test_yin_on_tone():
+    sr = 16000
+    f0 = yin_f0(_tone(220.0), sr)
+    assert f0.shape == (sr // 320 + 1,)
+    v = f0[f0 > 0]
+    assert len(v) > 20
+    assert abs(np.median(v) - 220.0) < 5.0
+
+
+def test_sidecar_roundtrip(tmp_path):
+    from knnsvc_tpu.io.audio import save_audio
+
+    wav = _tone(200.0)
+    p = tmp_path / "a.wav"
+    save_audio(p, wav, 16000)
+    assert load_f0_sidecar(str(p)) is None
+    f0 = get_f0(wav, 16000, audio_path=str(p))
+    cached = load_f0_sidecar(str(p))
+    np.testing.assert_array_equal(cached, f0)
+    # second call loads the cache bit-identically
+    f0b = get_f0(wav, 16000, audio_path=str(p))
+    np.testing.assert_array_equal(f0b, f0)
+
+
+def test_worldline_native_extractor():
+    harvest = pytest.importorskip("knnsvc_tpu.dsp.harvest")
+    try:
+        f0 = harvest.harvest_f0(_tone(220.0), 16000)
+    except OSError:
+        pytest.skip("native toolchain unavailable")
+    v = f0[f0 > 0]
+    assert len(v) > 20
+    # the phase-advance refinement should be near-exact on a clean tone
+    assert abs(np.median(v) - 220.0) < 1.0
+    # frame layout matches pyworld's
+    assert f0.shape == (16000 // 320 + 1,)
+
+
+def test_worldline_unvoiced_noise():
+    harvest = pytest.importorskip("knnsvc_tpu.dsp.harvest")
+    rng = np.random.default_rng(1)
+    noise = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    try:
+        f0 = harvest.harvest_f0(noise, 16000)
+    except OSError:
+        pytest.skip("native toolchain unavailable")
+    # noise should be mostly unvoiced
+    assert (f0 > 0).mean() < 0.3
+
+
+def test_worldline_matches_shipped_harvest_sidecar(sample_content):
+    harvest = pytest.importorskip("knnsvc_tpu.dsp.harvest")
+    from knnsvc_tpu.io.audio import load_audio, to_mono
+
+    x, sr = load_audio(sample_content / "Tiken_lead_07_resampled_16000_cut.wav")
+    x = to_mono(x)[0][: sr * 15]  # 15 s slice keeps the test fast
+    ref = np.load(sample_content / "Tiken_lead_07_resampled_16000_cut_f0.npy")[: len(x) // 320 + 1]
+    try:
+        ours = harvest.harvest_f0(x, sr)
+    except OSError:
+        pytest.skip("native toolchain unavailable")
+    both = (ours > 0) & (ref > 0)
+    assert both.sum() > 200
+    cents = 1200 * np.abs(np.log2(ours[both] / ref[both]))
+    assert np.median(cents) < 20.0
+    assert (cents < 50).mean() > 0.75
