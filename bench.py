@@ -67,7 +67,9 @@ def main() -> int:
         harm = jnp.asarray((rng.random((Tq, 49)) * 0.05).astype(np.float32))
         wav = vocode(gen_params, h, ModelFamily.MIX, feats[None],
                      shifted.reshape(1, -1, 1), harm[None])
-        return jax.block_until_ready(wav)
+        # device->host copy forces completion (block_until_ready does not
+        # reliably block through the axon tunnel)
+        return np.asarray(wav)
 
     t0 = time.time()
     wav = convert_once()  # compile

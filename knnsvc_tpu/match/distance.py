@@ -13,12 +13,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from knnsvc_tpu.precision import get_precision
+
 
 def cosine_distance(source: jax.Array, pool: jax.Array, eps: float = 0.0) -> jax.Array:
     """1 - cosine similarity. source (Q, D), pool (P, D) -> (Q, P)."""
     src_norm = jnp.linalg.norm(source, axis=-1, keepdims=True)
     pool_norm = jnp.linalg.norm(pool, axis=-1, keepdims=True)
-    dot = jnp.dot(source, pool.T, preferred_element_type=jnp.float32)
+    dot = jnp.dot(source, pool.T, preferred_element_type=jnp.float32, precision=get_precision())
     return 1.0 - dot / (src_norm * pool_norm.T + eps)
 
 
@@ -31,9 +33,10 @@ def weighted_cosine_distance(source: jax.Array, pool: jax.Array,
         return cosine_distance(source, pool)
     ws = source * weights                                  # (Q, D)
     src_norm = jnp.linalg.norm(ws, axis=-1)                # (Q,)
-    dot = jnp.dot(ws, pool.T, preferred_element_type=jnp.float32)  # (Q, P)
+    dot = jnp.dot(ws, pool.T, preferred_element_type=jnp.float32, precision=get_precision())  # (Q, P)
     # ||w_i * y_j|| for every pair — one einsum instead of the reference's
     # python-chunked (Q,P,D) materialization (ddsp_matcher.py:251-257)
     pool_norms_sq = jnp.dot(weights ** 2, (pool ** 2).T,
-                            preferred_element_type=jnp.float32)    # (Q, P)
+                            preferred_element_type=jnp.float32,
+                            precision=get_precision())             # (Q, P)
     return 1.0 - dot / (src_norm[:, None] * jnp.sqrt(pool_norms_sq))
