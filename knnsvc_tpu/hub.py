@@ -174,6 +174,63 @@ class KnnSvc:
         wav = hifigan_vocode(self.hifigan_params, self.h, self.family, feats_j, f0_j, harm_j)
         return np.asarray(wav[0])
 
+    def match(self, query_seq: np.ndarray, matching_set: np.ndarray,
+              query_f0: np.ndarray | None = None, synth_set: np.ndarray | None = None,
+              topk: int = 4, tgt_loudness_db: float | None = None,
+              target_duration: float | None = None,
+              without_vocode: bool = False) -> np.ndarray:
+        """Classic knn-vc matcher (ref ddsp_matcher.py:520-644): kNN top-k
+        mean of `synth_set` rows selected against `matching_set`, then vocode.
+        The reference's body is dead code past a live debug sys.exit
+        (ref :574-576); this is the working implementation of its documented
+        semantics. target_duration linearly rescales the query feature track."""
+        import jax
+
+        from knnsvc_tpu.match.knn import knn_topk
+
+        query = np.asarray(query_seq, dtype=np.float32)
+        matching = jnp.asarray(np.asarray(matching_set, dtype=np.float32))
+        synth = matching if synth_set is None else jnp.asarray(np.asarray(synth_set, dtype=np.float32))
+
+        if target_duration is not None:
+            target_frames = int(target_duration * self.sr / self.hop_length)
+            src_pos = np.linspace(0, len(query) - 1, target_frames)
+            lo = np.floor(src_pos).astype(int)
+            hi = np.minimum(lo + 1, len(query) - 1)
+            frac = (src_pos - lo)[:, None]
+            query = query[lo] * (1 - frac) + query[hi] * frac
+
+        idx, _ = knn_topk(jnp.asarray(query), matching, k=topk)
+        out_feats = np.asarray(jnp.mean(synth[idx], axis=1))
+        if without_vocode:
+            return out_feats
+        f0 = None
+        if query_f0 is not None:
+            f0 = np.asarray(query_f0, dtype=np.float32).reshape(-1)[: len(out_feats)]
+        pred = self.vocode(out_feats, f0)
+        if tgt_loudness_db is not None:
+            pred = normalize_loudness(pred, self.sr, tgt_loudness_db)
+        return pred
+
+    def mel_vocode(self, wav: np.ndarray, f0: np.ndarray) -> np.ndarray:
+        """Vocode a log-mel of `wav` (debug path, ref ddsp_matcher.py:346-368).
+        Only meaningful for checkpoints trained on mel input."""
+        import jax.numpy as jnp2
+
+        from knnsvc_tpu.dsp.stft import log_mel_spectrogram
+
+        mel = log_mel_spectrogram(
+            jnp2.asarray(np.asarray(wav, dtype=np.float32).reshape(1, -1)),
+            n_fft=self.h.n_fft, num_mels=self.h.num_mels,
+            sampling_rate=self.h.sampling_rate, hop_size=self.h.hop_size,
+            win_size=self.h.win_size, fmin=self.h.fmin, fmax=self.h.fmax,
+        )
+        mel = jnp2.swapaxes(mel, 1, 2)  # (1, T, mels)
+        f0 = np.asarray(f0, dtype=np.float32).reshape(-1)[: mel.shape[1]]
+        wav_out = hifigan_vocode(self.hifigan_params, self.h, self.family,
+                                 mel, jnp2.asarray(f0).reshape(1, -1, 1), None)
+        return np.asarray(wav_out[0])
+
     # ------------------------------------------------------------- conversion
 
     def convert_features(self, src_path, ref_path, topk: int = 4,

@@ -1,0 +1,106 @@
+"""Aux-surface tests: legacy matcher API, spectral losses, plotting, demo
+site, profiling utilities."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_legacy_match_api():
+    """hub.match(): classic knn-vc query/matching_set conversion."""
+    from knnsvc_tpu.config import HiFiGANConfig, WavLMConfig
+    from knnsvc_tpu.hub import KnnSvc
+    from knnsvc_tpu.models.hifigan import init_generator_params
+    from knnsvc_tpu.config import ModelFamily
+
+    h = HiFiGANConfig.from_dict(dict(
+        upsample_initial_channel=32, n_harmonic=4, hubert_dim=24, hifi_dim=16,
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3, 5),),
+    ))
+    gen = init_generator_params(jax.random.PRNGKey(0), h, ModelFamily.F0_ONLY)
+    knn = KnnSvc(None, WavLMConfig(), gen, h, ckpt_type="wavlm_only")
+
+    rng = np.random.default_rng(0)
+    query = rng.standard_normal((40, 24)).astype(np.float32)
+    pool = rng.standard_normal((200, 24)).astype(np.float32)
+    f0 = (rng.random(40) * 200).astype(np.float32)
+
+    feats = knn.match(query, pool, without_vocode=True)
+    assert feats.shape == query.shape
+    # top-1 self match returns the pool rows themselves
+    self_feats = knn.match(pool[:10], pool, topk=1, without_vocode=True)
+    np.testing.assert_allclose(self_feats, pool[:10], atol=1e-5)
+
+    wav = knn.match(query, pool, query_f0=f0)
+    assert wav.shape == (40 * 320,)
+
+    # target_duration rescaling
+    feats2 = knn.match(query, pool, target_duration=0.5, without_vocode=True)
+    assert feats2.shape[0] == int(0.5 * 16000 / 320)
+
+
+def test_sss_loss_properties():
+    from knnsvc_tpu.train.spectral_losses import sss_loss, rss_loss
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((1, 4096)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.standard_normal((1, 4096)).astype(np.float32) * 0.2)
+    same = float(sss_loss(a, a, n_fft=512))
+    diff = float(sss_loss(a, b, n_fft=512))
+    assert same < 1e-4
+    assert diff > same
+    r = float(rss_loss(jax.random.PRNGKey(0), a, b, fft_min=256, fft_max=512, n_scale=2))
+    assert np.isfinite(r) and r > 0
+
+
+def test_plotting_helpers(tmp_path):
+    from knnsvc_tpu.utils.plotting import plot_matrix, plot_multi_sequences
+
+    x = np.arange(50) / 50
+    p1 = plot_multi_sequences(x, [np.sin(x * 6), np.cos(x * 6)], ["sin", "cos"],
+                              out_path=str(tmp_path / "seq.png"))
+    p2 = plot_matrix(np.random.default_rng(0).random((8, 50)),
+                     out_path=str(tmp_path / "mat.png"))
+    assert os.path.getsize(p1) > 1000
+    assert os.path.getsize(p2) > 1000
+
+
+def test_demo_site_builder(tmp_path):
+    from knnsvc_tpu.eval.demo_site import build_demo_page, duration_ablation_section
+    from knnsvc_tpu.io.audio import save_audio
+
+    wavs = []
+    for i in range(3):
+        p = tmp_path / f"a{i}.wav"
+        save_audio(p, np.zeros(1600, np.float32), 16000)
+        wavs.append(str(p))
+
+    sections = [
+        ("comparison", ["", "src", "ref", "row1", wavs[0], wavs[1]], 3),
+        duration_ablation_section(wavs[0], wavs[1], {"5s": wavs[2], "full": wavs[2]}),
+    ]
+    out = build_demo_page(sections, str(tmp_path / "site"))
+    html = open(out).read()
+    assert "<audio controls" in html
+    assert "duration ablation" in html
+    assert (tmp_path / "site" / "assets" / "a0.wav").exists()
+
+
+def test_stage_timer():
+    from knnsvc_tpu.utils.profiling import StageTimer
+
+    t = StageTimer(sync=False)
+    with t.stage("a"):
+        sum(range(1000))
+    with t.stage("a"):
+        pass
+    with t.stage("b"):
+        pass
+    assert t.counts["a"] == 2 and t.counts["b"] == 1
+    report = t.report()
+    assert "a" in report and "TOTAL" in report
+    assert "seconds" in t.as_json()
