@@ -142,6 +142,37 @@ def gated_position_bias(query: jax.Array, p: Params, pos_bias: jax.Array,
     return gate_a_1 * pos_bias[None]
 
 
+# Pallas fused-attention fast path: enabled automatically on TPU for the
+# B=1, unmasked, bias-present case (the conversion pipeline's shape).
+USE_PALLAS_ATTENTION = True
+
+
+def _pallas_attention_ok(B: int, head_dim: int, pos_bias, padding_mask) -> bool:
+    if not USE_PALLAS_ATTENTION or B != 1 or pos_bias is None or padding_mask is not None:
+        return False
+    if head_dim % 8 != 0:
+        return False
+    # the kernel's MXU dots run at hardware-default precision; keep the fp32
+    # HIGHEST parity path on the XLA einsums
+    if get_precision() == jax.lax.Precision.HIGHEST:
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
+
+
+def _gate_values(query: jax.Array, p: Params, num_heads: int) -> jax.Array:
+    """gate_a_1 per (B, H, T, 1) — shared by both attention paths."""
+    B, T, C = query.shape
+    head_dim = C // num_heads
+    q_heads = query.reshape(B, T, num_heads, head_dim).transpose(0, 2, 1, 3)
+    g = linear(q_heads, p["grep"]).reshape(B, num_heads, T, 2, 4).sum(-1)
+    gate_a, gate_b = jnp.split(jax.nn.sigmoid(g), 2, axis=-1)
+    grep_a = p["grep_a"].reshape(1, num_heads, 1, 1)
+    return gate_a * (gate_b * grep_a - 1.0) + 2.0            # (B, H, T, 1)
+
+
 def multihead_attention(x: jax.Array, p: Params, pos_bias: jax.Array | None,
                         num_heads: int, padding_mask: jax.Array | None = None) -> jax.Array:
     """Self-attention with additive (gated) relative position bias.
@@ -151,7 +182,7 @@ def multihead_attention(x: jax.Array, p: Params, pos_bias: jax.Array | None,
     head_dim = C // num_heads
     scaling = head_dim ** -0.5
 
-    q = linear(x, p["q"]) * scaling
+    q = linear(x, p["q"])
     k = linear(x, p["k"])
     v = linear(x, p["v"])
 
@@ -159,14 +190,23 @@ def multihead_attention(x: jax.Array, p: Params, pos_bias: jax.Array | None,
         return t.reshape(B, T, num_heads, head_dim).transpose(0, 2, 1, 3)
 
     q, k, v = heads(q), heads(k), heads(v)
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32, precision=get_precision())
-    if pos_bias is not None:
-        gated = gated_position_bias(x, p, pos_bias, num_heads)
-        logits = logits + gated
-    if padding_mask is not None:
-        logits = jnp.where(padding_mask[:, None, None, :], -jnp.inf, logits)
-    probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32, precision=get_precision())
+
+    if _pallas_attention_ok(B, head_dim, pos_bias, padding_mask):
+        from knnsvc_tpu.ops.attention import gated_bias_attention
+
+        gate = _gate_values(x, p, num_heads)[0, :, :, 0]     # (H, T)
+        out = gated_bias_attention(q[0], k[0], v[0], pos_bias, gate)[None]
+    else:
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q * scaling, k,
+                            preferred_element_type=jnp.float32, precision=get_precision())
+        if pos_bias is not None:
+            gated = _gate_values(x, p, num_heads) * pos_bias[None]
+            logits = logits + gated
+        if padding_mask is not None:
+            logits = jnp.where(padding_mask[:, None, None, :], -jnp.inf, logits)
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                         preferred_element_type=jnp.float32, precision=get_precision())
     out = out.transpose(0, 2, 1, 3).reshape(B, T, C)
     return linear(out, p["out"])
 
@@ -244,26 +284,59 @@ def _scan_layers(x: jax.Array, stacked: Params, pos_bias: jax.Array | None,
     return jax.lax.scan(body, x, stacked)
 
 
-@functools.partial(jax.jit, static_argnums=(1,), static_argnames=("output_layer",))
+_jit_position_bias = jax.jit(compute_position_bias, static_argnames=("seq_len", "num_buckets", "max_distance"))
+_POS_BIAS_CACHE: dict[tuple, jax.Array] = {}
+
+
+def cached_position_bias(params: Params, cfg: WavLMConfig, seq_len: int) -> jax.Array | None:
+    """The (H, T, T) bias only depends on (table, T) — materializing it costs
+    ~19 ms at T=1504 (145 MB of HBM writes), more than the attention math of
+    six layers. Cache it per sequence length across encode calls (both pools,
+    every 30-s chunk, every utterance of a bulk run share it)."""
+    if not cfg.relative_position_embedding:
+        return None
+    table = params["encoder"]["rel_attn_bias"]
+    if isinstance(table, jax.core.Tracer):
+        # inside an outer jit trace: no host-side caching, just inline
+        return compute_position_bias(table, seq_len, cfg.num_buckets, cfg.max_distance)
+    key = (id(table), seq_len)
+    if key not in _POS_BIAS_CACHE:
+        if len(_POS_BIAS_CACHE) > 16:
+            _POS_BIAS_CACHE.clear()
+        _POS_BIAS_CACHE[key] = _jit_position_bias(
+            params["encoder"]["rel_attn_bias"], seq_len,
+            cfg.num_buckets, cfg.max_distance,
+        )
+    return _POS_BIAS_CACHE[key]
+
+
+@functools.partial(jax.jit, static_argnums=(1, 4))
+def _extract_layer_with_bias(params: Params, cfg: WavLMConfig, wav: jax.Array,
+                             pos_bias: jax.Array | None, output_layer: int) -> jax.Array:
+    x = _encoder_prelude(params, cfg, wav)
+    enc = params["encoder"]
+    sliced = jax.tree.map(lambda a: a[:output_layer], enc["layers"])
+    x, _ = _scan_layers(x, sliced, pos_bias, cfg, collect=False)
+    # early exit skips the final encoder LayerNorm (ref wavlm/WavLM.py:567)
+    return x
+
+
 def wavlm_extract_layer(params: Params, cfg: WavLMConfig, wav: jax.Array,
                         output_layer: int) -> jax.Array:
     """Features at encoder layer `output_layer` (1-based, matching the
     reference's extract_features(output_layer=L)). (B, T_samples) -> (B, T, C).
 
-    TPU note: only the first `output_layer` layers execute (stacked-param
+    TPU notes: only the first `output_layer` layers execute (stacked-param
     slice), unlike the reference pool builder which always runs all 24
-    (ref ddsp_prematch_dataset.py:289) — 4x less encoder compute at L=6.
+    (ref ddsp_prematch_dataset.py:289) — 4x less encoder compute at L=6; the
+    relative-position bias is computed once per sequence length and reused.
     """
-    x = _encoder_prelude(params, cfg, wav)
-    enc = params["encoder"]
-    pos_bias = None
-    if cfg.relative_position_embedding:
-        pos_bias = compute_position_bias(enc["rel_attn_bias"], x.shape[1],
-                                         cfg.num_buckets, cfg.max_distance)
-    sliced = jax.tree.map(lambda a: a[:output_layer], enc["layers"])
-    x, _ = _scan_layers(x, sliced, pos_bias, cfg, collect=False)
-    # early exit skips the final encoder LayerNorm (ref wavlm/WavLM.py:567)
-    return x
+    # frame count for this sample length (conv stack arithmetic)
+    t = wav.shape[-1]
+    for _, kernel, stride in cfg.conv_layers:
+        t = (t - kernel) // stride + 1
+    pos_bias = cached_position_bias(params, cfg, t)
+    return _extract_layer_with_bias(params, cfg, wav, pos_bias, output_layer)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -282,10 +355,9 @@ def wavlm_extract_all_layers(params: Params, cfg: WavLMConfig, wav: jax.Array) -
     return jnp.concatenate([x[None], stacked_out], axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "output_layer"))
 def wavlm_encode(params: Params, cfg: WavLMConfig, wav: jax.Array,
                  output_layer: int | None = None) -> jax.Array:
-    """Jitted entry point. output_layer=None -> all-layer stack."""
+    """Convenience dispatch (both callees are jitted)."""
     if output_layer is None:
         return wavlm_extract_all_layers(params, cfg, wav)
     return wavlm_extract_layer(params, cfg, wav, output_layer)
