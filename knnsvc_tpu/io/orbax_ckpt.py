@@ -1,0 +1,34 @@
+"""Orbax checkpointing (SURVEY.md §5: 'TPU equivalent: orbax checkpoints').
+
+Optional alternative to the pickle pytrees: async-capable, multi-host-safe
+checkpoints of full TrainState (params + optimizer state + step), with the
+same best-only retention policy the reference uses (keep 1, delete previous —
+ref hifigan/ddsp_train.py:344-372) expressed through orbax's CheckpointManager.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+
+def save_train_state(directory: str, step: int, state: Any, keep: int = 1) -> None:
+    import orbax.checkpoint as ocp
+
+    with ocp.CheckpointManager(
+        directory, options=ocp.CheckpointManagerOptions(max_to_keep=keep, create=True)
+    ) as mngr:
+        mngr.save(step, args=ocp.args.StandardSave(state))
+        mngr.wait_until_finished()
+
+
+def restore_train_state(directory: str, template: Any, step: int | None = None) -> tuple[Any, int]:
+    """Restore the latest (or given) step into the structure of `template`.
+    Returns (state, step)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.CheckpointManager(directory) as mngr:
+        step = mngr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no orbax checkpoints under {directory}")
+        state = mngr.restore(step, args=ocp.args.StandardRestore(template))
+        return state, step

@@ -52,3 +52,46 @@ def sort_by_f0_compatibility(expected_f0: jax.Array, f0_list: jax.Array,
     badness = jnp.abs(jnp.log2(cand_f0 + 1e-5) - jnp.log2(expected_f0[:, None] + 1e-5))
     order = jnp.argsort(badness, axis=1, stable=True)
     return jnp.take_along_axis(target_feature_indices, order, axis=1)
+
+
+def compute_shift(query_f0: jax.Array, f0_list: jax.Array,
+                  target_feature_indices: jax.Array) -> jax.Array:
+    """Least-squares multiplicative f0 shift (ref ddsp_prematch_dataset.py:
+    929-950 — defined but off the live path; the live path uses the
+    log-median shift above). Solves min_s ||s*q - median_tgt||."""
+    cand_f0 = f0_list[target_feature_indices]               # (T, k)
+    med = torch_median(cand_f0, axis=-1)                    # (T,)
+    q = jnp.where(med == 0, 0.0, query_f0)
+    denom = jnp.sum(q * q)
+    return jnp.where(denom > 0, jnp.sum(q * med) / denom, 1.0)
+
+
+def smoothen_f0(f0, slice_list, frame_per_second: int = 50):
+    """Linear interpolation across glitchy [start_s, end_s] windows
+    (ref lib_ongaku_test.py:248-263). Host-side numpy utility."""
+    import numpy as np
+
+    f0 = np.asarray(f0).copy()
+    for start_s, end_s in slice_list:
+        a = int(start_s * frame_per_second)
+        b = int(end_s * frame_per_second)
+        b = min(b, len(f0) - 1)
+        if b <= a:
+            continue
+        f0[a : b + 1] = np.interp(np.arange(a, b + 1), [a, b], [f0[a], f0[b]])
+    return f0
+
+
+def interp_f0_candidates(x: jax.Array, xp: jax.Array, fp: jax.Array) -> jax.Array:
+    """Log-domain piecewise-linear interpolation of per-frame candidate
+    tracks (ref ddsp_prematch_dataset.py:1019-1060 `interp`; off the live
+    path). x (B,), xp (B, F) increasing, fp (B, F, N) -> (B, 1, N)."""
+    xl = jnp.log(x + 1e-5)[:, None]                         # (B, 1)
+    xpl = jnp.log(xp + 1e-5)                                # (B, F)
+    m = (fp[:, 1:] - fp[:, :-1]) / (xpl[:, 1:, None] - xpl[:, :-1, None])
+    b = fp[:, :-1] - m * xpl[:, :-1, None]
+    idx = jnp.sum(xl >= xpl, axis=-1) - 1                   # (B,)
+    idx = jnp.clip(idx, 0, m.shape[1] - 1)
+    mi = jnp.take_along_axis(m, idx[:, None, None], axis=1)
+    bi = jnp.take_along_axis(b, idx[:, None, None], axis=1)
+    return mi[:, 0] * xl[..., None] + bi[:, 0]

@@ -54,3 +54,16 @@ def knn_topk(query: jax.Array, pool: jax.Array, k: int = 32,
 
     idx, vals = jax.lax.map(chunk_fn, qp.reshape(n_chunks, q_chunk, -1))
     return idx.reshape(-1, k)[:Q], vals.reshape(-1, k)[:Q]
+
+
+def knn_cosine_similarity(src_elements, tgt_elements, retain_mask=None, k: int = 32):
+    """fp16-rounded kNN with an optional retain mask (ref lib_ongaku_test.py:
+    182-196): inputs rounded through half precision, masked-out pairs get
+    +1 added to their distance. Returns (indices, distances)."""
+    src = jnp.asarray(src_elements).astype(jnp.float16).astype(jnp.float32)
+    tgt = jnp.asarray(tgt_elements).astype(jnp.float16).astype(jnp.float32)
+    dists = cosine_distance(src, tgt)
+    if retain_mask is not None:
+        dists = dists + (1.0 - jnp.asarray(retain_mask, dtype=dists.dtype))
+    neg_vals, idx = jax.lax.top_k(-dists, k)
+    return idx.astype(jnp.int32), -neg_vals

@@ -38,7 +38,7 @@ from knnsvc_tpu.config import WavLMConfig
 from knnsvc_tpu.dsp.f0 import get_f0
 from knnsvc_tpu.dsp.stft import linear_spectrogram
 from knnsvc_tpu.io.audio import load_audio, resample, to_mono
-from knnsvc_tpu.models.wavlm import wavlm_extract_layer, wavlm_extract_all_layers
+from knnsvc_tpu.models.wavlm import wavlm_extract_layer, wavlm_extract_layer_bucketed, wavlm_extract_all_layers
 from knnsvc_tpu.utils.layer_weights import one_hot_layer
 
 AUDIO_EXTENSIONS = {".flac", ".wav", ".mp3"}  # ref ddsp_prematch_dataset.py:313
@@ -127,12 +127,18 @@ def chunked_wavlm_features(
     match_weights: np.ndarray,
     synth_weights: np.ndarray,
     sr: int = SAMPLE_RATE,
+    encode_mode: str = "exact",
 ) -> tuple[np.ndarray, np.ndarray]:
     """(T_samples,) -> (matching (T,D), synth (T,D)) via 30-s chunks
     (ref get_full_wavlm_features :269-296). One-hot weightings use the
     early-exit encoder; otherwise the all-layer weighted sum."""
     m_hot = one_hot_layer(match_weights)
     s_hot = one_hot_layer(synth_weights)
+    # "bucketed": pad final partial chunks to fixed buckets with masked
+    # attention — one compilation per bucket instead of one per utterance
+    # length (production bulk mode; "exact" replicates the reference's
+    # unmasked zero-padding bit-for-bit)
+    extract = wavlm_extract_layer_bucketed if encode_mode == "bucketed" else wavlm_extract_layer
 
     matching_chunks, synth_chunks = [], []
     start = 0
@@ -150,11 +156,11 @@ def chunked_wavlm_features(
             feats = {}
             top = max(layers_needed)
             assert top >= 1, "layer-0 weighting selects the transformer input"
-            out = wavlm_extract_layer(wavlm_params, wavlm_cfg, x, output_layer=top)
+            out = extract(wavlm_params, wavlm_cfg, x, output_layer=top)
             feats[top] = np.asarray(out[0])
             if len(layers_needed) == 2:
                 low = min(layers_needed)
-                out_low = wavlm_extract_layer(wavlm_params, wavlm_cfg, x, output_layer=low)
+                out_low = extract(wavlm_params, wavlm_cfg, x, output_layer=low)
                 feats[low] = np.asarray(out_low[0])
             matching_chunks.append(feats[m_hot])
             synth_chunks.append(feats[s_hot])
@@ -205,6 +211,7 @@ def build_speaker_pool(
     duration_limit: float | None = None,
     f0_fn: Callable[[np.ndarray, int, str], np.ndarray] | None = None,
     sr: int = SAMPLE_RATE,
+    encode_mode: str = "exact",
 ) -> SpeakerPool:
     """== ref get_complete_spk_pool (:301-414). duration_limit in seconds cuts
     the pool after the utterance that crosses it (ref :408-411)."""
@@ -214,7 +221,8 @@ def build_speaker_pool(
     for pth in list_speaker_utterances(path):
         wav = load_utterance(pth, sr)
         matching, synth = chunked_wavlm_features(
-            wav, wavlm_params, wavlm_cfg, match_weights, synth_weights, sr
+            wav, wavlm_params, wavlm_cfg, match_weights, synth_weights, sr,
+            encode_mode=encode_mode,
         )
         T = len(matching)
         assert len(wav) >= HOP_LENGTH * T, (len(wav), T)

@@ -259,14 +259,19 @@ def pos_conv(x: jax.Array, p: Params, cfg: WavLMConfig) -> jax.Array:
 # ---------------------------------------------------------------- full encoder
 
 
-def _encoder_prelude(params: Params, cfg: WavLMConfig, wav: jax.Array) -> jax.Array:
+def _encoder_prelude(params: Params, cfg: WavLMConfig, wav: jax.Array,
+                     padding_mask: jax.Array | None = None) -> jax.Array:
     """wav (B, T_samples) -> transformer input (B, T, C): conv frontend,
-    post-frontend LayerNorm, projection, pos-conv add, optional pre-LN."""
+    post-frontend LayerNorm, projection, pos-conv add, optional pre-LN.
+    Padded frames are zeroed BEFORE the positional conv (ref WavLM.py:574-577)
+    so they cannot leak into real frames through its 128-tap kernel."""
     feats = conv_frontend(wav, params["feature_extractor"], cfg)   # (B, C0, T)
     feats = jnp.swapaxes(feats, 1, 2)                               # (B, T, C0)
     feats = layer_norm(feats, params["layer_norm"])
     if "post_extract_proj" in params:
         feats = linear(feats, params["post_extract_proj"])
+    if padding_mask is not None:
+        feats = jnp.where(padding_mask[:, :, None], 0.0, feats)
     enc = params["encoder"]
     x = feats + pos_conv(feats, enc["pos_conv"], cfg)
     if not cfg.layer_norm_first:
@@ -275,10 +280,11 @@ def _encoder_prelude(params: Params, cfg: WavLMConfig, wav: jax.Array) -> jax.Ar
 
 
 def _scan_layers(x: jax.Array, stacked: Params, pos_bias: jax.Array | None,
-                 cfg: WavLMConfig, collect: bool):
+                 cfg: WavLMConfig, collect: bool, padding_mask: jax.Array | None = None):
     def body(carry, layer_params):
         y = encoder_layer(carry, layer_params, pos_bias,
-                          cfg.encoder_attention_heads, cfg.layer_norm_first)
+                          cfg.encoder_attention_heads, cfg.layer_norm_first,
+                          padding_mask=padding_mask)
         return y, (y if collect else None)
 
     return jax.lax.scan(body, x, stacked)
@@ -312,11 +318,13 @@ def cached_position_bias(params: Params, cfg: WavLMConfig, seq_len: int) -> jax.
 
 @functools.partial(jax.jit, static_argnums=(1, 4))
 def _extract_layer_with_bias(params: Params, cfg: WavLMConfig, wav: jax.Array,
-                             pos_bias: jax.Array | None, output_layer: int) -> jax.Array:
-    x = _encoder_prelude(params, cfg, wav)
+                             pos_bias: jax.Array | None, output_layer: int,
+                             padding_mask: jax.Array | None = None) -> jax.Array:
+    x = _encoder_prelude(params, cfg, wav, padding_mask)
     enc = params["encoder"]
     sliced = jax.tree.map(lambda a: a[:output_layer], enc["layers"])
-    x, _ = _scan_layers(x, sliced, pos_bias, cfg, collect=False)
+    x, _ = _scan_layers(x, sliced, pos_bias, cfg, collect=False,
+                        padding_mask=padding_mask)
     # early exit skips the final encoder LayerNorm (ref wavlm/WavLM.py:567)
     return x
 
@@ -331,12 +339,46 @@ def wavlm_extract_layer(params: Params, cfg: WavLMConfig, wav: jax.Array,
     (ref ddsp_prematch_dataset.py:289) — 4x less encoder compute at L=6; the
     relative-position bias is computed once per sequence length and reused.
     """
-    # frame count for this sample length (conv stack arithmetic)
-    t = wav.shape[-1]
-    for _, kernel, stride in cfg.conv_layers:
-        t = (t - kernel) // stride + 1
+    t = frame_count(cfg, wav.shape[-1])
     pos_bias = cached_position_bias(params, cfg, t)
     return _extract_layer_with_bias(params, cfg, wav, pos_bias, output_layer)
+
+
+def frame_count(cfg: WavLMConfig, n_samples: int) -> int:
+    """Output frames of the conv frontend for a given sample count."""
+    t = n_samples
+    for _, kernel, stride in cfg.conv_layers:
+        t = (t - kernel) // stride + 1
+    return t
+
+
+# sample-length buckets for the production fast path: ~1/2/4/8/16/30 s,
+# aligned to the pool-builder's hop+1 padding convention
+ENCODE_BUCKETS_SAMPLES = tuple(s * 16000 + 320 for s in (1, 2, 4, 8, 16, 30))
+
+
+def wavlm_extract_layer_bucketed(params: Params, cfg: WavLMConfig, wav: jax.Array,
+                                 output_layer: int) -> jax.Array:
+    """Production fast path: pad the waveform up to a fixed bucket length and
+    mask the padded frames out of attention, so bulk conversion compiles one
+    encoder per bucket instead of one per utterance length. Returns only the
+    true frames.
+
+    Numerics differ slightly from the exact path at the tail (the reference
+    zero-pads unmasked to the next hop, so padded samples DO attend there —
+    ref ddsp_prematch_dataset.py:284-289); use the exact path for parity."""
+    B, n = wav.shape
+    bucket = next((b for b in ENCODE_BUCKETS_SAMPLES if b >= n), None)
+    if bucket is None:
+        return wavlm_extract_layer(params, cfg, wav, output_layer)
+    t_real = frame_count(cfg, n)
+    t_bucket = frame_count(cfg, bucket)
+    wav_p = jnp.pad(wav, ((0, 0), (0, bucket - n)))
+    mask = (jnp.arange(t_bucket) >= t_real)[None].repeat(B, axis=0)
+    pos_bias = cached_position_bias(params, cfg, t_bucket)
+    out = _extract_layer_with_bias(params, cfg, wav_p, pos_bias, output_layer,
+                                   padding_mask=mask)
+    return out[:, :t_real]
 
 
 @functools.partial(jax.jit, static_argnums=(1,))

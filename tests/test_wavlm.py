@@ -120,3 +120,24 @@ def test_frame_count_matches_hop():
     t2 = (t1 - 3) // 2 + 1
     t3 = (t2 - 2) // 2 + 1
     assert out.shape == (1, t3, cfg.encoder_embed_dim)
+
+
+def test_bucketed_encode_matches_exact(reference, torch):
+    """Production bucketed+masked path vs the exact path: identical conv
+    frontend frames, attention over masked keys — outputs should match the
+    exact path closely away from the pos-conv boundary."""
+    from knnsvc_tpu.models.wavlm import wavlm_extract_layer_bucketed
+
+    model, params, cfg = build_pair(reference, torch)
+    rng = np.random.default_rng(9)
+    wav = (rng.standard_normal((1, 1100)) * 0.1).astype(np.float32)
+
+    exact = np.asarray(wavlm_extract_layer(params, cfg, jnp.asarray(wav), output_layer=2))
+    bucketed = np.asarray(wavlm_extract_layer_bucketed(params, cfg, jnp.asarray(wav), output_layer=2))
+    assert bucketed.shape == exact.shape
+    T = exact.shape[1]
+    # interior frames (away from the pos-conv half-width) should agree tightly
+    interior = slice(0, T - cfg.conv_pos // 2)
+    scale = np.abs(exact[:, interior]).mean()
+    err = np.abs(bucketed[:, interior] - exact[:, interior]).max()
+    assert err < 0.05 * max(scale, 1.0), (err, scale)
