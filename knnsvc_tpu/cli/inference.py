@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="actually apply loudness normalization (reference keeps it disabled)")
     parser.add_argument("--dur_limit", type=int, default=None,
                         help="duration limit (s) on the target pool")
+    parser.add_argument("--resume", type=str2bool, default=False,
+                        help="bulk mode: skip outputs that already exist (crash recovery)")
     parser.add_argument("--wavlm_ckpt", type=str, default=None)
     parser.add_argument("--random_init", type=str2bool, default=False,
                         help="random full-size weights (smoke tests / benchmarks; no checkpoints needed)")
@@ -104,6 +106,7 @@ def main(argv=None) -> int:
             prioritize_f0=args.prioritize_f0, post_opt=args.post_opt,
             required_subset_file=args.required_subset_file,
             duration_limit=args.dur_limit, tgt_loudness_db=loudness,
+            resume=args.resume,
         )
         print(f"wrote {len(written)} files under {converted_audio_dir}")
         return 0

@@ -212,6 +212,28 @@ class KnnSvc:
             pred = normalize_loudness(pred, self.sr, tgt_loudness_db)
         return pred
 
+    def self_match(self, query_seq: np.ndarray, query_f0: np.ndarray | None = None,
+                   topk: int = 4, exclude_self: bool = True,
+                   without_vocode: bool = False) -> np.ndarray:
+        """Match a sequence against itself (ref ddsp_matcher.py:645-758
+        self_match — a debug relic there, functional here). exclude_self masks
+        the identity match so frame t can't pick itself."""
+        import jax
+
+        from knnsvc_tpu.match.distance import cosine_distance
+
+        q = jnp.asarray(np.asarray(query_seq, dtype=np.float32))
+        dists = cosine_distance(q, q)
+        if exclude_self:
+            T = q.shape[0]
+            dists = jnp.where(jnp.eye(T, dtype=bool), jnp.inf, dists)
+        _, idx = jax.lax.top_k(-dists, topk)
+        out_feats = np.asarray(jnp.mean(q[idx], axis=1))
+        if without_vocode:
+            return out_feats
+        f0 = None if query_f0 is None else np.asarray(query_f0, dtype=np.float32)[: len(out_feats)]
+        return self.vocode(out_feats, f0)
+
     def mel_vocode(self, wav: np.ndarray, f0: np.ndarray) -> np.ndarray:
         """Vocode a log-mel of `wav` (debug path, ref ddsp_matcher.py:346-368).
         Only meaningful for checkpoints trained on mel input."""
@@ -283,12 +305,16 @@ class KnnSvc:
                      prioritize_f0: bool = True, post_opt: str = "no_post_opt",
                      required_subset_file: str | None = None,
                      duration_limit: float | None = None,
-                     tgt_loudness_db: float | None = None) -> list[str]:
+                     tgt_loudness_db: float | None = None,
+                     resume: bool = False) -> list[str]:
         """Dataset -> dataset conversion (ref bulk_match :1027-1156): every
         (src speaker, tgt speaker) pair except same-index self pairs; outputs
         `<dir>/<src_spk>/<utt>/<tgt_spk>.<ext>`. Source pools are built once
         and reused across target speakers (the reference rebuilds or pickles
-        them per pair with the cache force-disabled — ref :1086-1087)."""
+        them per pair with the cache force-disabled — ref :1086-1087).
+        resume=True skips (src utt, tgt spk) outputs that already exist —
+        crash/preemption recovery for long runs (the reference has none,
+        SURVEY.md §5 'failure detection: none')."""
         assert os.path.isdir(src_dataset_path) and os.path.isdir(tgt_dataset_path)
         os.makedirs(converted_audio_dir, exist_ok=True)
 
@@ -319,12 +345,27 @@ class KnnSvc:
             for j, tgt_spk in enumerate(tgt_spks):
                 if src_dataset_path == tgt_dataset_path and i == j:
                     continue
+                def out_path_for(src_file: str) -> str:
+                    return os.path.join(
+                        converted_audio_dir,
+                        os.path.basename(spk),
+                        os.path.basename(src_file).split(".")[0],
+                        os.path.basename(tgt_spk) + ".wav",
+                    )
+
+                if resume:
+                    todo = [u for u in src_pool.utterances if not os.path.exists(out_path_for(u))]
+                    if not todo:
+                        continue
+
                 results = self.convert_features(
                     spk, tgt_spk, topk=topk, prioritize_f0=prioritize_f0,
                     post_opt=post_opt, duration_limit=duration_limit,
                     required_subset=required, query_pool=src_pool,
                 )
                 for src_file, feats in results.items():
+                    if resume and os.path.exists(out_path_for(src_file)):
+                        continue
                     pred = self.vocode(
                         feats.out_feats_weighted, feats.shifted_query_f0,
                         feats.harmonics_out_feats_weighted,

@@ -104,3 +104,66 @@ def test_stage_timer():
     report = t.report()
     assert "a" in report and "TOTAL" in report
     assert "seconds" in t.as_json()
+
+
+def test_masking_utils():
+    from knnsvc_tpu.models.wavlm.masking import apply_mask, compute_mask_indices
+
+    rng = np.random.default_rng(0)
+    mask = compute_mask_indices((4, 100), None, mask_prob=0.65, mask_length=10, rng=rng)
+    assert mask.shape == (4, 100)
+    counts = mask.sum(axis=1)
+    assert (counts == counts[0]).all()  # rows trimmed to batch-min
+    assert 0 < counts[0] < 100
+
+    feats = jnp.asarray(rng.standard_normal((4, 100, 8)).astype(np.float32))
+    emb = jnp.ones((8,), dtype=jnp.float32) * 7
+    out = np.asarray(apply_mask(feats, emb, mask))
+    assert np.allclose(out[mask], 7.0)
+    assert np.allclose(out[~mask], np.asarray(feats)[~mask])
+
+
+def test_generator_harm_head():
+    from knnsvc_tpu.models.hifigan.harm_head import (
+        generator_harm_apply,
+        init_generator_harm_params,
+    )
+
+    hidden, n_harm, T = 16, 8, 12
+    params = init_generator_harm_params(jax.random.PRNGKey(0), hidden, n_harm)
+    rng = np.random.default_rng(0)
+    f0 = jnp.asarray((rng.random((1, T, 1)) * 300 + 80).astype(np.float32))
+    harm = jnp.asarray(rng.standard_normal((1, hidden, T)).astype(np.float32))
+    sig = generator_harm_apply(params, f0, harm, hop_size=320)
+    assert sig.shape == (1, n_harm, T * 320)
+    assert np.all(np.isfinite(np.asarray(sig)))
+
+
+def test_legacy_audio_dataset(tmp_path):
+    from knnsvc_tpu.io.audio import save_audio
+    from knnsvc_tpu.train.legacy_audio_dataset import AudioDataset, traverse_dir
+
+    d = tmp_path / "spk"
+    d.mkdir()
+    t = np.arange(32000) / 16000
+    for i in range(2):
+        save_audio(d / f"u{i}.wav", (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32), 16000)
+    assert len(traverse_dir(str(tmp_path), ".wav")) == 2
+    ds = AudioDataset(str(tmp_path), waveform_sec=1.0)
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["audio"].shape == (16000,)
+    assert item["f0"].shape[0] == 16000 // 320 + 1
+
+
+def test_self_match():
+    from knnsvc_tpu.config import HiFiGANConfig, WavLMConfig
+    from knnsvc_tpu.hub import KnnSvc
+
+    knn = KnnSvc(None, WavLMConfig(), None, HiFiGANConfig(), ckpt_type="wavlm_only")
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((30, 16)).astype(np.float32)
+    out = knn.self_match(q, topk=2, without_vocode=True)
+    assert out.shape == q.shape
+    # with exclusion, a frame never reproduces itself exactly
+    assert not np.allclose(out, q)
