@@ -34,10 +34,14 @@ def load_audio(path: Union[str, os.PathLike], normalize: bool = True) -> tuple[n
     """
     path = str(path)
     ext = os.path.splitext(path)[-1].lower()
+    if ext == ".flac":
+        from knnsvc_tpu.io.flac import decode_flac  # native decoder
+
+        return decode_flac(path, normalize=normalize)
     if ext != ".wav":
         raise NotImplementedError(
-            f"Only WAV decoding is available in this environment (got {ext}); "
-            "decode to wav first. (mp3/flac need a codec library.)"
+            f"Only WAV/FLAC decoding is available in this environment (got {ext}); "
+            "decode to wav first. (mp3 needs a codec library.)"
         )
     with open(path, "rb") as f:
         data = f.read()
