@@ -253,6 +253,48 @@ class KnnSvc:
                                  mel, jnp2.asarray(f0).reshape(1, -1, 1), None)
         return np.asarray(wav_out[0])
 
+    def vocode_batch(self, features: list[ConversionFeatures],
+                     bucket_frames: int = 250) -> list[np.ndarray]:
+        """Batched vocoding for bulk throughput: utterances padded to frame
+        buckets and vocoded together (one device dispatch per bucket group
+        instead of per utterance). Outputs cropped to true lengths. Tail
+        samples within the generator's receptive field of the pad boundary
+        can differ slightly from per-utterance vocoding (production mode;
+        the reference vocodes one by one — ref ddsp_matcher.py:1106)."""
+        order = np.argsort([len(f.out_feats_weighted) for f in features])
+        results: list[np.ndarray | None] = [None] * len(features)
+        groups: dict[int, list[int]] = {}
+        for i in order:
+            T = len(features[i].out_feats_weighted)
+            bucket = -(-T // bucket_frames) * bucket_frames
+            groups.setdefault(bucket, []).append(int(i))
+
+        for bucket, idxs in groups.items():
+            def pad(a, T):
+                return np.pad(a, [(0, bucket - T)] + [(0, 0)] * (a.ndim - 1))
+
+            feats = jnp.asarray(np.stack([
+                pad(features[i].out_feats_weighted, len(features[i].out_feats_weighted))
+                for i in idxs
+            ]))
+            f0 = jnp.asarray(np.stack([
+                pad(features[i].shifted_query_f0, len(features[i].shifted_query_f0))
+                for i in idxs
+            ]))[..., None]
+            harm = None
+            if features[idxs[0]].harmonics_out_feats_weighted is not None:
+                harm = jnp.asarray(np.stack([
+                    pad(features[i].harmonics_out_feats_weighted,
+                        len(features[i].harmonics_out_feats_weighted))
+                    for i in idxs
+                ]))
+            wavs = np.asarray(hifigan_vocode(self.hifigan_params, self.h, self.family,
+                                             feats, f0, harm))
+            for row, i in enumerate(idxs):
+                T = len(features[i].out_feats_weighted)
+                results[i] = wavs[row, : T * self.hop_length]
+        return results  # type: ignore[return-value]
+
     # ------------------------------------------------------------- conversion
 
     def convert_features(self, src_path, ref_path, topk: int = 4,
@@ -306,7 +348,8 @@ class KnnSvc:
                      required_subset_file: str | None = None,
                      duration_limit: float | None = None,
                      tgt_loudness_db: float | None = None,
-                     resume: bool = False) -> list[str]:
+                     resume: bool = False,
+                     batch_vocode: bool = False) -> list[str]:
         """Dataset -> dataset conversion (ref bulk_match :1027-1156): every
         (src speaker, tgt speaker) pair except same-index self pairs; outputs
         `<dir>/<src_spk>/<utt>/<tgt_spk>.<ext>`. Source pools are built once
@@ -363,13 +406,20 @@ class KnnSvc:
                     post_opt=post_opt, duration_limit=duration_limit,
                     required_subset=required, query_pool=src_pool,
                 )
+                batch_preds: dict[str, np.ndarray] = {}
+                if batch_vocode and results:
+                    keys = list(results.keys())
+                    wavs = self.vocode_batch([results[k] for k in keys])
+                    batch_preds = dict(zip(keys, wavs))
                 for src_file, feats in results.items():
                     if resume and os.path.exists(out_path_for(src_file)):
                         continue
-                    pred = self.vocode(
-                        feats.out_feats_weighted, feats.shifted_query_f0,
-                        feats.harmonics_out_feats_weighted,
-                    )
+                    pred = batch_preds.get(src_file)
+                    if pred is None:
+                        pred = self.vocode(
+                            feats.out_feats_weighted, feats.shifted_query_f0,
+                            feats.harmonics_out_feats_weighted,
+                        )
                     if tgt_loudness_db is not None:
                         pred = normalize_loudness(pred, self.sr, tgt_loudness_db)
                     out = os.path.join(

@@ -167,3 +167,30 @@ def test_self_match():
     assert out.shape == q.shape
     # with exclusion, a frame never reproduces itself exactly
     assert not np.allclose(out, q)
+
+
+def test_vocode_batch_matches_single():
+    from knnsvc_tpu.config import HiFiGANConfig, ModelFamily, WavLMConfig
+    from knnsvc_tpu.hub import KnnSvc
+    from knnsvc_tpu.match.pipeline import ConversionFeatures
+    from knnsvc_tpu.models.hifigan import init_generator_params
+
+    h = HiFiGANConfig.from_dict(dict(
+        upsample_initial_channel=32, n_harmonic=4, hubert_dim=12, hifi_dim=16,
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3, 5),),
+    ))
+    gen = init_generator_params(jax.random.PRNGKey(0), h, ModelFamily.F0_ONLY)
+    knn = KnnSvc(None, WavLMConfig(), gen, h, ckpt_type="wavlm_only")
+
+    rng = np.random.default_rng(0)
+    feats = []
+    for T in (10, 10, 7):
+        feats.append(ConversionFeatures(
+            out_feats_weighted=rng.standard_normal((T, 12)).astype(np.float32),
+            shifted_query_f0=(rng.random(T) * 200).astype(np.float32),
+        ))
+    wavs = knn.vocode_batch(feats, bucket_frames=10)
+    assert [len(w) for w in wavs] == [3200, 3200, 2240]
+    # bucket-aligned items (T == bucket) must match unbatched vocoding exactly
+    single = knn.vocode(feats[0].out_feats_weighted, feats[0].shifted_query_f0)
+    np.testing.assert_allclose(wavs[0], single, atol=1e-5)
