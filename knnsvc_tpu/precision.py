@@ -22,8 +22,19 @@ _NAMES = {
 
 
 def set_precision(name: str) -> None:
+    """Switch the policy. Clears jit caches on change — traced executables
+    bake the precision in, so stale caches would silently keep the old one."""
     global _PRECISION
-    _PRECISION = _NAMES[name]
+    new = _NAMES[name]
+    if new is not _PRECISION:
+        _PRECISION = new
+        jax.clear_caches()
+        try:
+            from knnsvc_tpu.models.wavlm.model import _POS_BIAS_CACHE
+
+            _POS_BIAS_CACHE.clear()
+        except ImportError:
+            pass
 
 
 def get_precision() -> jax.lax.Precision:
