@@ -10,7 +10,8 @@ import argparse
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--ckpt_dir", default=None)
-    parser.add_argument("--ckpt_type", default="mix")
+    parser.add_argument("--ckpt_type", default="wavlm_only",
+                        help="the legacy match() demo below needs a non-mix family")
     parser.add_argument("--random_init", action="store_true",
                         help="random weights (no checkpoints; output is noise-like)")
     parser.add_argument("--src", default="/root/reference/sample_content/Danakil-voice_resampled_16000_cut.wav")

@@ -33,6 +33,9 @@ def main(argv=None) -> int:
                         help="accepted for compatibility (fine-tuning is the only mode, as in the reference)")
     parser.add_argument("--precision", type=str, default="highest",
                         choices=["highest", "high", "fastest"])
+    parser.add_argument("--resume_from", type=str, default=None,
+                        help="checkpoint dir with g_/do_ pairs to restore from "
+                             "(the reference scans but force-disables this, ddsp_train.py:118)")
     args = parser.parse_args(argv)
 
     from knnsvc_tpu.precision import set_precision
@@ -54,6 +57,7 @@ def main(argv=None) -> int:
         validation_interval=args.validation_interval,
         summary_interval=args.summary_interval,
         stdout_interval=args.stdout_interval,
+        resume_from=args.resume_from,
     )
     return 0
 

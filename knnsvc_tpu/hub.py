@@ -168,6 +168,16 @@ class KnnSvc:
                harmonics: np.ndarray | None = None) -> np.ndarray:
         """(T, 1024)[, (T,)][, (T, 49)] -> waveform (T*hop,)
         (ref ddsp_matcher.py:374-406 dispatch)."""
+        if self.family == ModelFamily.MIX and harmonics is None:
+            raise ValueError(
+                "mix-family checkpoints need harmonic amplitudes; use "
+                "convert_pair/convert_features (which compute them) or pass "
+                "harmonics=(T, 49); the legacy match() surface fits "
+                "wavlm_only-family checkpoints"
+            )
+        if self.family != ModelFamily.ORIGINAL and f0 is None:
+            raise ValueError(f"{self.family} checkpoints need f0; only "
+                             "wavlm_only_original vocodes features alone")
         feats_j = jnp.asarray(feats)[None]
         f0_j = None if f0 is None else jnp.asarray(f0).reshape(1, -1, 1)
         harm_j = None if harmonics is None else jnp.asarray(harmonics)[None]
@@ -324,7 +334,9 @@ class KnnSvc:
             Path(src_wav_file), Path(ref_wav_file), topk=topk,
             prioritize_f0=prioritize_f0, post_opt=post_opt,
         )
-        feats = results[str(src_wav_file)]
+        # pools key utterances by str(Path(...)) — normalize the lookup so
+        # './x.wav' or 'dir//x.wav' inputs still resolve
+        feats = results[str(Path(src_wav_file))]
         pred = self.vocode(
             feats.out_feats_weighted, feats.shifted_query_f0,
             feats.harmonics_out_feats_weighted,
@@ -396,15 +408,22 @@ class KnnSvc:
                         os.path.basename(tgt_spk) + ".wav",
                     )
 
+                pair_subset = required
                 if resume:
                     todo = [u for u in src_pool.utterances if not os.path.exists(out_path_for(u))]
                     if not todo:
                         continue
+                    # restrict the conversion itself to the missing outputs
+                    # (not just the final writes) via the subset mechanism
+                    from knnsvc_tpu.match.pipeline import subset_key
+
+                    todo_keys = {subset_key(u, str(tgt_spk)) for u in todo}
+                    pair_subset = todo_keys if required is None else (todo_keys & set(required))
 
                 results = self.convert_features(
                     spk, tgt_spk, topk=topk, prioritize_f0=prioritize_f0,
                     post_opt=post_opt, duration_limit=duration_limit,
-                    required_subset=required, query_pool=src_pool,
+                    required_subset=pair_subset, query_pool=src_pool,
                 )
                 batch_preds: dict[str, np.ndarray] = {}
                 if batch_vocode and results:

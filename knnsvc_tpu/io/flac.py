@@ -37,7 +37,7 @@ def _load_library() -> ctypes.CDLL:
                                   ctypes.POINTER(ctypes.c_long)]
     lib.flacdec_decode.restype = ctypes.c_int
     lib.flacdec_decode.argtypes = [u8p, ctypes.c_long, ctypes.POINTER(ctypes.c_int32),
-                                   ctypes.c_long]
+                                   ctypes.c_long, ctypes.POINTER(ctypes.c_long)]
     _lib = lib
     return lib
 
@@ -55,11 +55,19 @@ def decode_flac(path: str, normalize: bool = True) -> tuple[np.ndarray, int]:
                            ctypes.byref(bits), ctypes.byref(n))
     if rc != 0:
         raise ValueError(f"flac decode failed (probe rc={rc}) for {path}")
-    out = np.zeros(n.value, dtype=np.int32)
-    rc = lib.flacdec_decode(buf, len(raw), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n.value)
+    # STREAMINFO declares the length; streams without it get a size headroom
+    capacity = n.value if n.value > 0 else max(len(raw) * 4, 1 << 20)
+    out = np.zeros(capacity, dtype=np.int32)
+    n_out = ctypes.c_long()
+    rc = lib.flacdec_decode(buf, len(raw), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                            capacity, ctypes.byref(n_out))
+    if rc == 3:  # declared length was short: retry once with the real count
+        out = np.zeros(n_out.value, dtype=np.int32)
+        rc = lib.flacdec_decode(buf, len(raw), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                                n_out.value, ctypes.byref(n_out))
     if rc != 0:
         raise ValueError(f"flac decode failed (decode rc={rc}) for {path}")
-    x = out.reshape(-1, ch.value).T.astype(np.float32)
+    x = out[: n_out.value].reshape(-1, ch.value).T.astype(np.float32)
     if normalize:
         x = x / float(2 ** (bits.value - 1))
     return np.ascontiguousarray(x), sr.value

@@ -38,7 +38,12 @@ def shift_f0_to_target_register(query_f0: jax.Array, matching_f0: jax.Array) -> 
     shifted = exp(log f0 + median(log tgt) - median(log src)) on voiced frames."""
     src_med = masked_log_median(query_f0)
     tgt_med = masked_log_median(matching_f0)
-    shifted = jnp.exp(jnp.log(jnp.where(query_f0 != 0, query_f0, 1.0)) + tgt_med - src_med)
+    # fully-unvoiced tracks give +inf medians (the reference's torch.median on
+    # an empty tensor errors out instead); degrade to a zero shift rather
+    # than emitting inf/NaN f0
+    delta = tgt_med - src_med
+    delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+    shifted = jnp.exp(jnp.log(jnp.where(query_f0 != 0, query_f0, 1.0)) + delta)
     return jnp.where(query_f0 != 0, shifted, query_f0)
 
 

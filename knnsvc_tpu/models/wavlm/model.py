@@ -125,23 +125,6 @@ def compute_position_bias(rel_attn_bias: jax.Array, seq_len: int, num_buckets: i
 # ---------------------------------------------------------------- attention
 
 
-def gated_position_bias(query: jax.Array, p: Params, pos_bias: jax.Array,
-                        num_heads: int) -> jax.Array:
-    """gru_rel_pos gating (ref wavlm/modules.py:523-533, fast path).
-
-    query: (B, T, C) — the attention input (post layer-norm, *not* q-projected).
-    pos_bias: (H, T, T). Returns (B, H, T, T).
-    """
-    B, T, C = query.shape
-    head_dim = C // num_heads
-    q_heads = query.reshape(B, T, num_heads, head_dim).transpose(0, 2, 1, 3)  # (B,H,T,hd)
-    g = linear(q_heads, p["grep"]).reshape(B, num_heads, T, 2, 4).sum(-1)
-    gate_a, gate_b = jnp.split(jax.nn.sigmoid(g), 2, axis=-1)  # (B,H,T,1) each
-    grep_a = p["grep_a"].reshape(1, num_heads, 1, 1)           # per-head scalar
-    gate_a_1 = gate_a * (gate_b * grep_a - 1.0) + 2.0          # (B,H,T,1)
-    return gate_a_1 * pos_bias[None]
-
-
 # Pallas fused-attention fast path: enabled automatically on TPU for the
 # B=1, unmasked, bias-present case (the conversion pipeline's shape).
 USE_PALLAS_ATTENTION = True
@@ -291,7 +274,12 @@ def _scan_layers(x: jax.Array, stacked: Params, pos_bias: jax.Array | None,
 
 
 _jit_position_bias = jax.jit(compute_position_bias, static_argnames=("seq_len", "num_buckets", "max_distance"))
-_POS_BIAS_CACHE: dict[tuple, jax.Array] = {}
+# weak-keyed on the bias table array: entries die with the params (an
+# id()-keyed cache could silently serve model A's bias to model B after
+# address reuse)
+import weakref
+
+_POS_BIAS_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def cached_position_bias(params: Params, cfg: WavLMConfig, seq_len: int) -> jax.Array | None:
@@ -305,15 +293,17 @@ def cached_position_bias(params: Params, cfg: WavLMConfig, seq_len: int) -> jax.
     if isinstance(table, jax.core.Tracer):
         # inside an outer jit trace: no host-side caching, just inline
         return compute_position_bias(table, seq_len, cfg.num_buckets, cfg.max_distance)
-    key = (id(table), seq_len)
-    if key not in _POS_BIAS_CACHE:
-        if len(_POS_BIAS_CACHE) > 16:
-            _POS_BIAS_CACHE.clear()
-        _POS_BIAS_CACHE[key] = _jit_position_bias(
-            params["encoder"]["rel_attn_bias"], seq_len,
-            cfg.num_buckets, cfg.max_distance,
+    try:
+        per_table = _POS_BIAS_CACHE.setdefault(table, {})
+    except TypeError:  # table not weak-referenceable: compute uncached
+        return _jit_position_bias(table, seq_len, cfg.num_buckets, cfg.max_distance)
+    if seq_len not in per_table:
+        if len(per_table) > 16:
+            per_table.clear()
+        per_table[seq_len] = _jit_position_bias(
+            table, seq_len, cfg.num_buckets, cfg.max_distance
         )
-    return _POS_BIAS_CACHE[key]
+    return per_table[seq_len]
 
 
 @functools.partial(jax.jit, static_argnums=(1, 4))

@@ -58,6 +58,7 @@ def train(
     max_val_items: int | None = None,
     mesh=None,
     seed: int | None = None,
+    resume_from: str | None = None,
 ) -> TrainState:
     family = ModelFamily.MIX if (h.with_harm if with_harm is None else with_harm) else ModelFamily.F0_ONLY
     os.makedirs(checkpoint_path, exist_ok=True)
@@ -72,6 +73,25 @@ def train(
 
     opt_g, opt_d = make_optimizers(h)
     state = init_train_state(jax.random.PRNGKey(h.seed if seed is None else seed), h, family)
+    start_epoch, start_steps = 0, 0
+    if resume_from is not None:
+        # restore from a g_/do_ checkpoint pair (ref ddsp_train.py:113-133;
+        # note the reference force-disables its own restore at :118-119)
+        from knnsvc_tpu.hub import scan_checkpoint
+        from knnsvc_tpu.io.checkpoints import load_params as _load
+
+        cp_g, cp_do = scan_checkpoint(resume_from, "g_"), scan_checkpoint(resume_from, "do_")
+        if cp_g and cp_do:
+            g = _load(cp_g)["generator"]
+            do = _load(cp_do)
+            state = state._replace(
+                g_params=g, mpd_params=do["mpd"], msd_params=do["msd"],
+                opt_g=do.get("optim_g", state.opt_g),
+                opt_d=do.get("optim_d", state.opt_d),
+            )
+            start_steps = int(do.get("steps", 0)) + 1
+            start_epoch = int(do.get("epoch", -1)) + 1
+            print(f"restored from {cp_g} / {cp_do} at step {start_steps}", flush=True)
     state = jax.device_put(state, rep)
     step_fn = make_train_step(h, family, opt_g, opt_d)
 
@@ -81,7 +101,7 @@ def train(
     prev_min_val_err = float("inf")
     prev_min_val_err_step = -1
     cur_best_ckpts: list[str] = []
-    steps = 0
+    steps = start_steps
 
     def log(scalars: dict):
         log_file.write(json.dumps({"step": steps, **scalars}) + "\n")
@@ -109,14 +129,17 @@ def train(
             save_params(new_ckpts[1], {
                 "mpd": jax.device_get(state.mpd_params),
                 "msd": jax.device_get(state.msd_params),
+                "optim_g": jax.device_get(state.opt_g),
+                "optim_d": jax.device_get(state.opt_d),
                 "steps": steps,
+                "epoch": epoch,
             })
             for old in cur_best_ckpts:
                 if os.path.exists(old):
                     os.remove(old)
             cur_best_ckpts = new_ckpts
 
-    for epoch in range(training_epochs):
+    for epoch in range(start_epoch, training_epochs):
         if steps > max_steps:
             break
         epoch_start = time.time()

@@ -135,7 +135,10 @@ bool decode_residual(BitReader& br, int order, uint32_t block_size,
   uint32_t n_partitions = 1u << partition_order;
   if (block_size % n_partitions != 0) return false;
   uint32_t samples_per_part = block_size >> partition_order;
-  if (samples_per_part <= static_cast<uint32_t>(order) && n_partitions == 1) return false;
+  // first partition holds samples_per_part - order samples; malformed
+  // streams with order > samples_per_part would underflow the unsigned
+  // count into an unbounded out-of-bounds write
+  if (samples_per_part <= static_cast<uint32_t>(order)) return false;
 
   uint32_t idx = order;
   for (uint32_t p = 0; p < n_partitions; ++p) {
@@ -336,29 +339,32 @@ bool decode_stream(const uint8_t* data, size_t size, const StreamInfo& si,
 
 extern "C" {
 
-// Probe: returns 0 on success and fills (sample_rate, channels,
-// bits_per_sample, total_interleaved_samples as decoded).
+// Probe: header-only (no decoding). Fills (sample_rate, channels,
+// bits_per_sample, expected interleaved count from STREAMINFO total_samples;
+// 0 when the stream does not declare it).
 int flacdec_probe(const uint8_t* data, long size, int* sample_rate,
                   int* channels, int* bits, long* n_interleaved) {
   flacdec::StreamInfo si;
   if (!flacdec::parse_streaminfo(data, static_cast<size_t>(size), &si)) return 1;
-  std::vector<int32_t> pcm;
-  if (!flacdec::decode_stream(data, static_cast<size_t>(size), si, &pcm)) return 2;
   *sample_rate = static_cast<int>(si.sample_rate);
   *channels = si.channels;
   *bits = si.bits_per_sample;
-  *n_interleaved = static_cast<long>(pcm.size());
+  *n_interleaved = static_cast<long>(si.total_samples) * si.channels;
   return 0;
 }
 
-// Decode into caller buffer of n_interleaved int32 (values at native bps
-// scale, i.e. 16-bit streams span +-32767).
-int flacdec_decode(const uint8_t* data, long size, int32_t* out, long n_interleaved) {
+// Decode into caller buffer of capacity int32 (values at native bps scale,
+// i.e. 16-bit streams span +-32767). Writes the actual interleaved count to
+// *n_out (may be < capacity). Returns 0 on success, 3 if the buffer is too
+// small (with *n_out = required count).
+int flacdec_decode(const uint8_t* data, long size, int32_t* out, long capacity,
+                   long* n_out) {
   flacdec::StreamInfo si;
   if (!flacdec::parse_streaminfo(data, static_cast<size_t>(size), &si)) return 1;
   std::vector<int32_t> pcm;
   if (!flacdec::decode_stream(data, static_cast<size_t>(size), si, &pcm)) return 2;
-  if (static_cast<long>(pcm.size()) != n_interleaved) return 3;
+  *n_out = static_cast<long>(pcm.size());
+  if (static_cast<long>(pcm.size()) > capacity) return 3;
   std::memcpy(out, pcm.data(), pcm.size() * sizeof(int32_t));
   return 0;
 }

@@ -194,3 +194,15 @@ def test_vocode_batch_matches_single():
     # bucket-aligned items (T == bucket) must match unbatched vocoding exactly
     single = knn.vocode(feats[0].out_feats_weighted, feats[0].shifted_query_f0)
     np.testing.assert_allclose(wavs[0], single, atol=1e-5)
+
+
+def test_vocode_guards_for_missing_inputs():
+    from knnsvc_tpu.config import HiFiGANConfig, WavLMConfig
+    from knnsvc_tpu.hub import KnnSvc
+
+    knn_mix = KnnSvc(None, WavLMConfig(), None, HiFiGANConfig(), ckpt_type="mix")
+    with pytest.raises(ValueError, match="harmonic"):
+        knn_mix.vocode(np.zeros((5, 1024), np.float32), np.zeros(5, np.float32))
+    knn_f0 = KnnSvc(None, WavLMConfig(), None, HiFiGANConfig(), ckpt_type="wavlm_only")
+    with pytest.raises(ValueError, match="f0"):
+        knn_f0.vocode(np.zeros((5, 1024), np.float32))
