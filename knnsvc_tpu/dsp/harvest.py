@@ -43,6 +43,7 @@ def _load_library() -> ctypes.CDLL:
     lib.worldline_dio.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
         ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int, ctypes.c_double,
         ctypes.POINTER(ctypes.c_double),
     ]
     _lib = lib
@@ -50,8 +51,10 @@ def _load_library() -> ctypes.CDLL:
 
 
 def harvest_f0(x: np.ndarray, sr: int, hop: int = 320,
-               f0_floor: float = F0_FLOOR, f0_ceil: float = F0_CEIL) -> np.ndarray:
-    """x (T,) -> f0 (T//hop + 1,) Hz, 0 = unvoiced."""
+               f0_floor: float = F0_FLOOR, f0_ceil: float = F0_CEIL,
+               channels_in_octave: int = 0, dev_threshold: float = 0.0) -> np.ndarray:
+    """x (T,) -> f0 (T//hop + 1,) Hz, 0 = unvoiced. Zero/negative tuning
+    params pick the library defaults."""
     lib = _load_library()
     xd = np.ascontiguousarray(np.asarray(x, dtype=np.float64).reshape(-1))
     frame_period_ms = hop / sr * 1000.0
@@ -60,6 +63,7 @@ def harvest_f0(x: np.ndarray, sr: int, hop: int = 320,
     rc = lib.worldline_dio(
         xd.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(xd), sr,
         frame_period_ms, f0_floor, f0_ceil,
+        channels_in_octave, dev_threshold,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     if rc != 0:

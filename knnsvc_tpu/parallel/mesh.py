@@ -46,3 +46,20 @@ def pool_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host bring-up: jax.distributed.initialize (the mesh then spans
+    hosts transparently; DCN handled by the same axis names). The reference's
+    analogue is torch.distributed.init_process_group over TCP
+    (ref hifigan/ddsp_train.py:30-32, config_v1_wavlm.json:48-52). No-op when
+    already initialized or single-process."""
+    import jax
+
+    try:
+        jax.distributed.initialize(coordinator_address, num_processes, process_id)
+    except (RuntimeError, ValueError) as e:
+        if "already" not in str(e).lower():
+            raise

@@ -256,7 +256,7 @@ double refine_frame(const double* x, int n, int fs, double t, double f0,
 
 void dio_f0(const double* x_in, int n, int fs, double frame_period_ms,
             double f0_floor, double f0_ceil, int channels_in_octave,
-            double* f0_out, int n_frames) {
+            double dev_threshold, double* f0_out, int n_frames) {
   std::vector<double> x(x_in, x_in + n);
 
   const std::vector<double> frame_times = [&] {
@@ -289,9 +289,8 @@ void dio_f0(const double* x_in, int n, int fs, double frame_period_ms,
     }
   }
 
-  const double kDevThreshold = 0.1;  // relative stddev across the 4 estimators
   for (int i = 0; i < n_frames; ++i) {
-    if (best_dev[i] > kDevThreshold) best_f0[i] = 0.0;
+    if (best_dev[i] > dev_threshold) best_f0[i] = 0.0;
   }
   fix_contour(&best_f0);
 
@@ -311,13 +310,17 @@ int worldline_n_frames(int n, int fs, double frame_period_ms) {
 }
 
 // DIO + StoneMask-style refinement. f0_out must hold worldline_n_frames(...)
-// doubles. Returns 0 on success.
+// doubles. channels_in_octave/dev_threshold <= 0 pick the defaults (4, 0.1).
+// Returns 0 on success.
 int worldline_dio(const double* x, int n, int fs, double frame_period_ms,
-                  double f0_floor, double f0_ceil, double* f0_out) {
+                  double f0_floor, double f0_ceil, int channels_in_octave,
+                  double dev_threshold, double* f0_out) {
   if (n <= 0 || fs <= 0 || frame_period_ms <= 0.0) return 1;
+  if (channels_in_octave <= 0) channels_in_octave = 4;
+  if (dev_threshold <= 0.0) dev_threshold = 0.1;
   const int n_frames = worldline_n_frames(n, fs, frame_period_ms);
   worldline::dio_f0(x, n, fs, frame_period_ms, f0_floor, f0_ceil,
-                    /*channels_in_octave=*/4, f0_out, n_frames);
+                    channels_in_octave, dev_threshold, f0_out, n_frames);
   return 0;
 }
 
