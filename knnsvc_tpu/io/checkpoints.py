@@ -153,8 +153,12 @@ def load_params(path: str) -> Params:
 def _to_numpy(tree):
     if isinstance(tree, dict):
         return {k: _to_numpy(v) for k, v in tree.items()}
+    if hasattr(tree, "_fields"):  # NamedTuple (e.g. optax states)
+        return type(tree)(*(_to_numpy(v) for v in tree))
     if isinstance(tree, (list, tuple)):
         return type(tree)(_to_numpy(v) for v in tree)
+    if tree is None or isinstance(tree, (bool, int, float, str, bytes)):
+        return tree
     return np.asarray(tree)
 
 

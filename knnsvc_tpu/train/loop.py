@@ -67,7 +67,11 @@ def train(
     log_file = open(log_dir / "train_log.jsonl", "a")
 
     if mesh is None:
-        mesh = make_mesh(n_data=len(jax.devices()), n_pool=1)
+        # data axis must divide the global batch; use the largest such device
+        # count (the reference instead divides batch_size per GPU, ref :429)
+        n_dev = len(jax.devices())
+        n_data = max(d for d in range(1, n_dev + 1) if h.batch_size % d == 0 and d <= n_dev)
+        mesh = make_mesh(n_data=n_data, n_pool=1)
     batch_sharding = data_sharding(mesh)
     rep = replicated(mesh)
 

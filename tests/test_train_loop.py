@@ -1,0 +1,116 @@
+"""End-to-end training-loop test: prematch -> train() (steps, validation,
+best-only checkpoint retention, JSONL log) -> resume_from restore."""
+
+import glob
+import json
+
+import numpy as np
+import pytest
+
+import jax
+
+from knnsvc_tpu.config import HiFiGANConfig, WavLMConfig
+from knnsvc_tpu.io.audio import save_audio
+from knnsvc_tpu.models.wavlm import init_wavlm_params
+from knnsvc_tpu.train.prematch import per_spk_extract
+from knnsvc_tpu.utils.layer_weights import generate_matrix_from_index
+
+TINY_H = dict(
+    upsample_initial_channel=32,
+    n_harmonic=4,
+    hubert_dim=16,
+    hifi_dim=16,
+    segment_size=1280,
+    resblock_kernel_sizes=(3,),
+    resblock_dilation_sizes=((1, 3, 5),),
+    batch_size=2,
+    seed=1234,
+)
+
+
+@pytest.fixture(scope="module")
+def prematched_world(tmp_path_factory):
+    root = tmp_path_factory.mktemp("trainworld")
+    cfg = WavLMConfig.from_dict(dict(
+        extractor_mode="layer_norm", encoder_layers=2, encoder_embed_dim=16,
+        encoder_ffn_embed_dim=32, encoder_attention_heads=2, layer_norm_first=True,
+        conv_feature_layers="[(16,10,5)] + [(16,4,4)] + [(16,4,4)] + [(16,4,4)]",
+        conv_bias=True, conv_pos=8, conv_pos_groups=2,
+        relative_position_embedding=True, num_buckets=16, max_distance=32,
+        gru_rel_pos=True,
+    ))
+    params = init_wavlm_params(jax.random.PRNGKey(0), cfg)
+    w = generate_matrix_from_index(1, size=3)
+
+    rng = np.random.default_rng(0)
+    t = np.arange(16000) / 16000
+    for split in ("train", "valid"):
+        d = root / split / "spk0"
+        d.mkdir(parents=True)
+        for i, f in enumerate((200.0, 240.0, 300.0)):
+            wav = (0.3 * np.sin(2 * np.pi * f * t) + 0.02 * rng.standard_normal(len(t))).astype(np.float32)
+            save_audio(d / f"utt{i}.wav", wav, 16000)
+        per_spk_extract(root / split, root / f"cached_{split}", params, cfg, w, w)
+    return root
+
+
+def test_train_loop_end_to_end(prematched_world, tmp_path):
+    from knnsvc_tpu.train.loop import train
+
+    root = prematched_world
+    h = HiFiGANConfig.from_dict(TINY_H)
+    ckpt_dir = tmp_path / "ckpts"
+
+    state = train(
+        h,
+        audio_root_train=str(root / "train"),
+        feat_root_train=str(root / "cached_train"),
+        audio_root_valid=str(root / "valid"),
+        feat_root_valid=str(root / "cached_valid"),
+        checkpoint_path=str(ckpt_dir),
+        training_epochs=3,
+        validation_interval=1,
+        summary_interval=1,
+        stdout_interval=100,
+        with_harm=True,
+        max_steps=2,
+        max_val_items=1,
+    )
+    assert int(state.steps) >= 2
+
+    # best-only retention: exactly one g_/do_ pair remains
+    gs = sorted(glob.glob(str(ckpt_dir / "g_*.knnsvc.pkl")))
+    dos = sorted(glob.glob(str(ckpt_dir / "do_*.knnsvc.pkl")))
+    assert len(gs) == 1 and len(dos) == 1
+
+    # do_ checkpoint carries the full resume payload
+    from knnsvc_tpu.io.checkpoints import load_params
+
+    do = load_params(dos[0])
+    for key in ("mpd", "msd", "optim_g", "optim_d", "steps", "epoch"):
+        assert key in do, key
+
+    # JSONL metrics log written
+    log_lines = open(ckpt_dir / "logs" / "train_log.jsonl").read().strip().split("\n")
+    scalars = [json.loads(l) for l in log_lines]
+    assert any("loss_gen_total" in s for s in scalars)
+    assert any("validation/mel_spec_error" in s for s in scalars)
+
+    # resume: restores step counter and optimizer state, continues training
+    state2 = train(
+        h,
+        audio_root_train=str(root / "train"),
+        feat_root_train=str(root / "cached_train"),
+        audio_root_valid=str(root / "valid"),
+        feat_root_valid=str(root / "cached_valid"),
+        checkpoint_path=str(tmp_path / "ckpts2"),
+        training_epochs=4,
+        validation_interval=1000,  # no validation this run
+        summary_interval=1000,
+        stdout_interval=1000,
+        with_harm=True,
+        max_steps=int(do["steps"]) + 2,
+        max_val_items=1,
+        resume_from=str(ckpt_dir),
+    )
+    assert int(state2.steps) > int(do["steps"])
