@@ -166,3 +166,39 @@ def test_smoothness_optimizer_vs_reference(reference, torch, capsys):
 
     ours_loss, refs_loss = ref_loss(ours_w), ref_loss(ref_w)
     assert ours_loss <= refs_loss * 1.02 + 1e-6, (ours_loss, refs_loss)
+
+
+def test_quantized_pool_knn_agreement():
+    """int8 pool selection must near-match fp32 (scales cancel in cosine)."""
+    from knnsvc_tpu.match.quantized_pool import knn_topk_quantized, quantize_pool
+
+    rng = np.random.default_rng(11)
+    # WavLM-like feature stats
+    pool = (rng.standard_normal((2000, 256)) * 1.5).astype(np.float32)
+    query = (rng.standard_normal((64, 256)) * 1.5).astype(np.float32)
+
+    qp = quantize_pool(pool)
+    assert qp.values.dtype == jnp.int8
+
+    idx_q, vals_q = knn_topk_quantized(jnp.asarray(query), qp, k=8, approx=False)
+    idx_f, vals_f = knn_topk(jnp.asarray(query), jnp.asarray(pool), k=8)
+
+    top1 = np.mean(np.asarray(idx_q)[:, 0] == np.asarray(idx_f)[:, 0])
+    top4 = np.mean([
+        len(set(a[:4].tolist()) & set(b[:4].tolist())) / 4
+        for a, b in zip(np.asarray(idx_q), np.asarray(idx_f))
+    ])
+    assert top1 > 0.9, top1
+    assert top4 > 0.9, top4
+    # distances agree to quantization noise
+    np.testing.assert_allclose(np.asarray(vals_q), np.asarray(vals_f), atol=0.02)
+
+
+def test_quantized_pool_zero_row_safe():
+    from knnsvc_tpu.match.quantized_pool import knn_topk_quantized, quantize_pool
+
+    pool = np.zeros((40, 16), dtype=np.float32)
+    pool[1:] = np.random.default_rng(0).standard_normal((39, 16))
+    qp = quantize_pool(pool)
+    idx, vals = knn_topk_quantized(jnp.ones((3, 16)), qp, k=4, approx=False)
+    assert np.all(np.isfinite(np.asarray(vals)))
