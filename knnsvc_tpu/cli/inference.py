@@ -52,6 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="duration limit (s) on the target pool")
     parser.add_argument("--resume", type=str2bool, default=False,
                         help="bulk mode: skip outputs that already exist (crash recovery)")
+    parser.add_argument("--pool_cache_dir", type=str, default=None,
+                        help="bulk mode: on-disk speaker-pool cache (reuse across runs)")
     parser.add_argument("--wavlm_ckpt", type=str, default=None)
     parser.add_argument("--random_init", type=str2bool, default=False,
                         help="random full-size weights (smoke tests / benchmarks; no checkpoints needed)")
@@ -106,7 +108,7 @@ def main(argv=None) -> int:
             prioritize_f0=args.prioritize_f0, post_opt=args.post_opt,
             required_subset_file=args.required_subset_file,
             duration_limit=args.dur_limit, tgt_loudness_db=loudness,
-            resume=args.resume,
+            resume=args.resume, pool_cache_dir=args.pool_cache_dir,
         )
         print(f"wrote {len(written)} files under {converted_audio_dir}")
         return 0

@@ -32,7 +32,7 @@ from knnsvc_tpu.io.audio import load_audio, resample, save_audio, to_mono
 from knnsvc_tpu.io.loudness import normalize_loudness
 from knnsvc_tpu.io.vad import vad_trim
 from knnsvc_tpu.match.pipeline import ConversionFeatures, match_at_inference_time
-from knnsvc_tpu.match.pool import build_speaker_pool
+from knnsvc_tpu.match.pool import SpeakerPool, build_speaker_pool, build_speaker_pool_cached
 from knnsvc_tpu.models.hifigan import vocode as hifigan_vocode
 from knnsvc_tpu.models.wavlm import wavlm_extract_layer, wavlm_extract_all_layers
 from knnsvc_tpu.utils.layer_weights import generate_matrix_from_index
@@ -361,7 +361,8 @@ class KnnSvc:
                      duration_limit: float | None = None,
                      tgt_loudness_db: float | None = None,
                      resume: bool = False,
-                     batch_vocode: bool = False) -> list[str]:
+                     batch_vocode: bool = False,
+                     pool_cache_dir: str | None = None) -> list[str]:
         """Dataset -> dataset conversion (ref bulk_match :1027-1156): every
         (src speaker, tgt speaker) pair except same-index self pairs; outputs
         `<dir>/<src_spk>/<utt>/<tgt_spk>.<ext>`. Source pools are built once
@@ -393,9 +394,24 @@ class KnnSvc:
                 required = [row[2] for i, row in enumerate(reader) if i != 0 and row[-1] == "0"]
 
         written: list[str] = []
+        # every target pool is shared by ALL source speakers: build each once
+        # (the reference rebuilds per pair with its cache force-disabled,
+        # ref ddsp_matcher.py:1066-1068, ddsp_prematch_dataset.py:1086-1087)
+        tgt_pools: dict = {}
+
+        def tgt_pool_for(tgt_spk) -> "SpeakerPool":
+            if tgt_spk not in tgt_pools:
+                tgt_pools[tgt_spk] = build_speaker_pool_cached(
+                    tgt_spk, self.wavlm_params, self.wavlm_cfg,
+                    self.weighting, self.weighting,
+                    cache_dir=pool_cache_dir, duration_limit=duration_limit,
+                )
+            return tgt_pools[tgt_spk]
+
         for i, spk in enumerate(src_spks):
-            src_pool = build_speaker_pool(
-                spk, self.wavlm_params, self.wavlm_cfg, self.weighting, self.weighting
+            src_pool = build_speaker_pool_cached(
+                spk, self.wavlm_params, self.wavlm_cfg, self.weighting,
+                self.weighting, cache_dir=pool_cache_dir,
             )
             for j, tgt_spk in enumerate(tgt_spks):
                 if src_dataset_path == tgt_dataset_path and i == j:
@@ -424,6 +440,7 @@ class KnnSvc:
                     spk, tgt_spk, topk=topk, prioritize_f0=prioritize_f0,
                     post_opt=post_opt, duration_limit=duration_limit,
                     required_subset=pair_subset, query_pool=src_pool,
+                    ref_pool=tgt_pool_for(tgt_spk),
                 )
                 batch_preds: dict[str, np.ndarray] = {}
                 if batch_vocode and results:

@@ -251,3 +251,60 @@ def build_speaker_pool(
             break
 
     return SpeakerPool(utterances)
+
+
+def save_speaker_pool(pool: SpeakerPool, path: str | Path) -> None:
+    """Persist a pool as one .npz (deterministic on-disk feature format —
+    SURVEY.md §5 'orbax + npy/zarr pools'). Keys: <idx>|<field>, plus the
+    utterance path list."""
+    arrays: dict[str, np.ndarray] = {"__paths__": np.array(list(pool.utterances.keys()))}
+    for i, utt in enumerate(pool.utterances.values()):
+        for field in ("matching", "synth", "audio", "spec", "f0", "harmonics"):
+            arrays[f"{i}|{field}"] = getattr(utt, field)
+    np.savez(path, **arrays)
+
+
+def load_speaker_pool(path: str | Path) -> SpeakerPool:
+    data = np.load(path, allow_pickle=False)
+    paths = [str(p) for p in data["__paths__"]]
+    utterances = {}
+    for i, p in enumerate(paths):
+        utterances[p] = UtterancePools(**{
+            field: data[f"{i}|{field}"]
+            for field in ("matching", "synth", "audio", "spec", "f0", "harmonics")
+        })
+    return SpeakerPool(utterances)
+
+
+def build_speaker_pool_cached(
+    path: str | Path,
+    wavlm_params,
+    wavlm_cfg: WavLMConfig,
+    match_weights: np.ndarray,
+    synth_weights: np.ndarray,
+    cache_dir: str | Path | None = None,
+    **kwargs,
+) -> SpeakerPool:
+    """build_speaker_pool with an optional on-disk cache. The reference
+    authored exactly this cache but force-disabled it
+    (ref ddsp_prematch_dataset.py:1086-1138); here it works, keyed by the
+    speaker path, the layer weighting and the duration limit."""
+    if cache_dir is None:
+        return build_speaker_pool(path, wavlm_params, wavlm_cfg,
+                                  match_weights, synth_weights, **kwargs)
+    import hashlib
+
+    os.makedirs(cache_dir, exist_ok=True)
+    key_src = (str(Path(path).resolve())
+               + "|" + np.asarray(match_weights).tobytes().hex()
+               + "|" + np.asarray(synth_weights).tobytes().hex()
+               + "|" + str(kwargs.get("duration_limit"))
+               + "|" + kwargs.get("encode_mode", "exact"))
+    key = hashlib.sha1(key_src.encode()).hexdigest()[:16]
+    cache_file = Path(cache_dir) / f"{Path(path).name}_{key}.pool.npz"
+    if cache_file.is_file():
+        return load_speaker_pool(cache_file)
+    pool = build_speaker_pool(path, wavlm_params, wavlm_cfg,
+                              match_weights, synth_weights, **kwargs)
+    save_speaker_pool(pool, cache_file)
+    return pool

@@ -168,3 +168,27 @@ def test_full_conversion_writes_wav(tiny_world, tmp_path, monkeypatch):
     # output frames = src frames; samples = frames*320 (within one chunk-pad)
     assert abs(y.shape[-1] - src_len) <= 640
     assert np.max(np.abs(y)) <= 1.0
+
+
+def test_pool_save_load_roundtrip(tiny_world, tmp_path):
+    from knnsvc_tpu.match.pool import (
+        build_speaker_pool_cached,
+        load_speaker_pool,
+        save_speaker_pool,
+    )
+
+    root, src_dir, tgt_dir, cfg, params, w = tiny_world
+    pool = build_speaker_pool_cached(src_dir, params, cfg, w, w)
+    save_speaker_pool(pool, tmp_path / "p.npz")
+    loaded = load_speaker_pool(tmp_path / "p.npz")
+    assert list(loaded.utterances.keys()) == list(pool.utterances.keys())
+    np.testing.assert_array_equal(loaded.matching, pool.matching)
+    np.testing.assert_array_equal(loaded.f0, pool.f0)
+
+    # cached build: second call hits the npz (and returns identical pools)
+    cache = tmp_path / "cache"
+    p1 = build_speaker_pool_cached(src_dir, params, cfg, w, w, cache_dir=cache)
+    files = list(cache.glob("*.pool.npz"))
+    assert len(files) == 1
+    p2 = build_speaker_pool_cached(src_dir, params, cfg, w, w, cache_dir=cache)
+    np.testing.assert_array_equal(p1.matching, p2.matching)
