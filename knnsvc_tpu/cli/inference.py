@@ -61,6 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--precision", type=str, default="highest",
                         choices=["highest", "high", "fastest"],
                         help="matmul/conv precision: highest = fp32 parity, fastest = bf16 MXU")
+    parser.add_argument("--matcher", type=str, default="exact",
+                        choices=["exact", "approx", "int8"],
+                        help="kNN candidate search: exact (parity), approx (aggregated top-k), int8 (quantized pool)")
     return parser
 
 
@@ -86,7 +89,7 @@ def main(argv=None) -> int:
     if src_is_file and tgt_is_file:
         out = knn.convert_pair(
             args.src, args.tgt, topk=args.topk, prioritize_f0=args.prioritize_f0,
-            post_opt=args.post_opt, tgt_loudness_db=loudness,
+            post_opt=args.post_opt, tgt_loudness_db=loudness, matcher=args.matcher,
         )
         print("->", out)
         return 0
@@ -109,6 +112,7 @@ def main(argv=None) -> int:
             required_subset_file=args.required_subset_file,
             duration_limit=args.dur_limit, tgt_loudness_db=loudness,
             resume=args.resume, pool_cache_dir=args.pool_cache_dir,
+            matcher=args.matcher,
         )
         print(f"wrote {len(written)} files under {converted_audio_dir}")
         return 0

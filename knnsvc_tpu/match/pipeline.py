@@ -35,6 +35,7 @@ from knnsvc_tpu.config import PostOpt, uses_harmonics
 from knnsvc_tpu.match.concat_cost import knn_with_concat_cost
 from knnsvc_tpu.match.f0_logic import shift_f0_to_target_register, sort_by_f0_compatibility
 from knnsvc_tpu.match.knn import knn_topk
+from knnsvc_tpu.match.quantized_pool import QuantizedPool, knn_topk_quantized, quantize_pool
 from knnsvc_tpu.match.pool import SpeakerPool, build_speaker_pool
 from knnsvc_tpu.match.smoothness import (
     HARMONICS_LOSS_SCALE,
@@ -70,12 +71,24 @@ def match_utterance(
     post_opt: PostOpt,
     topk: int = 4,
     prioritize_f0: bool = True,
+    matcher: str = "exact",
+    quantized: QuantizedPool | None = None,
 ) -> ConversionFeatures:
-    """Convert one utterance against a prepared (concatenated) target pool."""
+    """Convert one utterance against a prepared (concatenated) target pool.
+
+    matcher: 'exact' (reference-parity top-k), 'approx' (TPU aggregated
+    top-k, ~4x faster at hours-scale pools), 'int8' (quantized pool matmul,
+    ~8x, pass `quantized`). Everything downstream of the candidate search
+    (concat cost, weights, gathers) stays fp32."""
     assert prioritize_f0, "prioritize_f0 is mandatory on the reference live path (ref :1375)"
 
     q = jnp.asarray(query_seq)
-    nearest_nbrs, _ = knn_topk(q, matching_list, k=KNN_CANDIDATES)
+    if matcher == "int8":
+        assert quantized is not None
+        nearest_nbrs, _ = knn_topk_quantized(q, quantized, k=KNN_CANDIDATES)
+    else:
+        nearest_nbrs, _ = knn_topk(q, matching_list, k=KNN_CANDIDATES,
+                                   approx=(matcher == "approx"))
 
     qf0 = jnp.asarray(query_f0)
     shifted_f0 = shift_f0_to_target_register(qf0, matching_f0)
@@ -135,6 +148,7 @@ def match_at_inference_time(
     duration_limit: float | None = None,
     query_pool: SpeakerPool | None = None,
     ref_pool: SpeakerPool | None = None,
+    matcher: str = "exact",
 ) -> dict[str, ConversionFeatures]:
     """Full source x target conversion. Returns {src utterance path:
     ConversionFeatures}. Pools may be passed in to reuse across pairs (fixes
@@ -156,6 +170,7 @@ def match_at_inference_time(
     synth_list = jnp.asarray(ref_pool.synth)
     matching_f0 = jnp.asarray(ref_pool.f0)
     harmonics_list = jnp.asarray(ref_pool.harmonics) if uses_harmonics(ckpt_type) else None
+    quantized = quantize_pool(ref_pool.matching) if matcher == "int8" else None
 
     results: dict[str, ConversionFeatures] = {}
     for item, pools in query_pool.utterances.items():
@@ -164,5 +179,6 @@ def match_at_inference_time(
         results[item] = match_utterance(
             pools.matching, pools.f0, matching_list, synth_list, matching_f0,
             harmonics_list, ckpt_type, popt, topk=topk, prioritize_f0=prioritize_f0,
+            matcher=matcher, quantized=quantized,
         )
     return results

@@ -192,3 +192,20 @@ def test_pool_save_load_roundtrip(tiny_world, tmp_path):
     assert len(files) == 1
     p2 = build_speaker_pool_cached(src_dir, params, cfg, w, w, cache_dir=cache)
     np.testing.assert_array_equal(p1.matching, p2.matching)
+
+
+@pytest.mark.parametrize("matcher", ["approx", "int8"])
+def test_match_at_inference_time_fast_matchers(tiny_world, matcher):
+    root, src_dir, tgt_dir, cfg, params, w = tiny_world
+    exact = match_at_inference_time(
+        src_dir, tgt_dir, params, cfg, w, w, ckpt_type="wavlm_only",
+        post_opt="no_post_opt")
+    fast = match_at_inference_time(
+        src_dir, tgt_dir, params, cfg, w, w, ckpt_type="wavlm_only",
+        post_opt="no_post_opt", matcher=matcher)
+    for key in exact:
+        a, b = exact[key].out_feats_weighted, fast[key].out_feats_weighted
+        assert a.shape == b.shape
+        # fast matchers pick near-identical neighbors -> features mostly equal
+        frac_same = np.mean(np.all(np.isclose(a, b, atol=1e-4), axis=1))
+        assert frac_same > 0.8, (matcher, frac_same)
