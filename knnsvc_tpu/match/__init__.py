@@ -7,6 +7,10 @@ from knnsvc_tpu.match.f0_logic import (
     sort_by_f0_compatibility,
 )
 from knnsvc_tpu.match.concat_cost import knn_with_concat_cost
+from knnsvc_tpu.match.quantized_pool import QuantizedPool, knn_topk_quantized, quantize_pool
+from knnsvc_tpu.match.smoothness import optimize_smoothness_weights
+from knnsvc_tpu.match.pipeline import match_at_inference_time, match_utterance
+from knnsvc_tpu.match.pool import SpeakerPool, build_speaker_pool, build_speaker_pool_cached
 
 __all__ = [
     "cosine_distance",
@@ -16,4 +20,13 @@ __all__ = [
     "shift_f0_to_target_register",
     "sort_by_f0_compatibility",
     "knn_with_concat_cost",
+    "QuantizedPool",
+    "knn_topk_quantized",
+    "quantize_pool",
+    "optimize_smoothness_weights",
+    "match_at_inference_time",
+    "match_utterance",
+    "SpeakerPool",
+    "build_speaker_pool",
+    "build_speaker_pool_cached",
 ]
