@@ -16,10 +16,13 @@
 //      peaks, dips) and convert interval lengths to instantaneous f0,
 //   3. interpolate each sequence to the frame times; candidate = mean of 4,
 //      reliability = stddev of 4.
-// Frame-wise the best (lowest relative deviation) candidate wins; unreliable
-// frames are unvoiced. A jump-removal pass cleans octave glitches, then
-// StoneMask refines each voiced frame from the instantaneous frequency of
-// the fundamental and its harmonics.
+// The per-frame candidate sets from all channels feed a Viterbi pass
+// (local cost = estimator deviation, transition = log-pitch continuity +
+// a voicing-toggle penalty) that picks a temporally consistent track —
+// fixing the octave flips and onset glitches a per-frame argmin commits
+// to. A jump-removal pass cleans residue, then StoneMask-style refinement
+// sharpens each voiced frame from the instantaneous frequency of the
+// fundamental and its 2nd harmonic.
 //
 // C API at the bottom (ctypes-friendly, see knnsvc_tpu/dsp/harvest.py).
 
@@ -275,22 +278,71 @@ void dio_f0(const double* x_in, int n, int fs, double frame_period_ms,
   const int n_bands = static_cast<int>(
       std::ceil(std::log2(f0_ceil / f0_floor) * channels_in_octave)) + 1;
 
-  std::vector<double> best_f0(n_frames, 0.0), best_dev(n_frames, 1e9);
+  // collect the candidate set per frame across all channels
+  std::vector<std::vector<std::pair<double, double>>> cands(n_frames);  // (f0, dev)
   for (int b = 0; b < n_bands; ++b) {
     const double boundary =
         f0_floor * std::pow(2.0, static_cast<double>(b + 1) / channels_in_octave);
     Candidate c = channel_candidate(spec, nfft, n, fs, boundary, frame_times,
                                     f0_floor, f0_ceil);
     for (int i = 0; i < n_frames; ++i) {
-      if (c.dev[i] < best_dev[i]) {
-        best_dev[i] = c.dev[i];
-        best_f0[i] = c.f0[i];
-      }
+      if (c.f0[i] > 0.0) cands[i].emplace_back(c.f0[i], c.dev[i]);
     }
   }
 
+  // Viterbi over per-frame candidates (+ an explicit unvoiced state):
+  // local cost = candidate deviation (unvoiced costs dev_threshold, so a
+  // frame goes unvoiced when every candidate is less reliable than that);
+  // transition cost = lambda * |log2 ratio| between voiced states and a
+  // fixed toggle penalty for voiced<->unvoiced — the continuity term fixes
+  // the octave flips and onset glitches a per-frame argmin commits to.
+  const double kLambda = 0.5;
+  const double kToggle = 0.08;
+  std::vector<std::vector<double>> cost(n_frames);
+  std::vector<std::vector<int>> back(n_frames);
   for (int i = 0; i < n_frames; ++i) {
-    if (best_dev[i] > dev_threshold) best_f0[i] = 0.0;
+    const int m = static_cast<int>(cands[i].size());
+    cost[i].assign(m + 1, 0.0);  // slot m = unvoiced
+    back[i].assign(m + 1, 0);
+    for (int j = 0; j < m; ++j) cost[i][j] = std::min(cands[i][j].second, 1.0);
+    cost[i][m] = dev_threshold;
+    if (i == 0) continue;
+    const int pm = static_cast<int>(cands[i - 1].size());
+    for (int j = 0; j <= m; ++j) {
+      double best = 1e18;
+      int arg = 0;
+      for (int pj = 0; pj <= pm; ++pj) {
+        double trans;
+        const bool v_now = j < m, v_prev = pj < pm;
+        if (v_now && v_prev) {
+          trans = kLambda * std::fabs(std::log2(cands[i][j].first /
+                                                cands[i - 1][pj].first));
+        } else if (v_now != v_prev) {
+          trans = kToggle;
+        } else {
+          trans = 0.0;
+        }
+        const double total = cost[i - 1][pj] + trans;
+        if (total < best) {
+          best = total;
+          arg = pj;
+        }
+      }
+      cost[i][j] += best;
+      back[i][j] = arg;
+    }
+  }
+
+  std::vector<double> best_f0(n_frames, 0.0);
+  {
+    const auto& last = cost[n_frames - 1];
+    int j = static_cast<int>(
+        std::min_element(last.begin(), last.end()) - last.begin());
+    for (int i = n_frames - 1; i >= 0; --i) {
+      const int m = static_cast<int>(cands[i].size());
+      best_f0[i] = (j < m) ? cands[i][j].first : 0.0;
+      if (i > 0) j = back[i][j];
+    }
   }
   fix_contour(&best_f0);
 
