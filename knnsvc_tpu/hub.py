@@ -364,7 +364,8 @@ class KnnSvc:
                      resume: bool = False,
                      batch_vocode: bool = False,
                      pool_cache_dir: str | None = None,
-                     matcher: str = "exact") -> list[str]:
+                     matcher: str = "exact",
+                     max_cached_pools: int = 8) -> list[str]:
         """Dataset -> dataset conversion (ref bulk_match :1027-1156): every
         (src speaker, tgt speaker) pair except same-index self pairs; outputs
         `<dir>/<src_spk>/<utt>/<tgt_spk>.<ext>`. Source pools are built once
@@ -399,10 +400,15 @@ class KnnSvc:
         # every target pool is shared by ALL source speakers: build each once
         # (the reference rebuilds per pair with its cache force-disabled,
         # ref ddsp_matcher.py:1066-1068, ddsp_prematch_dataset.py:1086-1087)
+        # bounded FIFO: hours-scale pools are ~10 KB/frame in host RAM, so an
+        # unbounded dict would OOM long dataset runs; evicted pools reload
+        # cheaply when pool_cache_dir is set
         tgt_pools: dict = {}
 
         def tgt_pool_for(tgt_spk) -> "SpeakerPool":
             if tgt_spk not in tgt_pools:
+                if len(tgt_pools) >= max_cached_pools:
+                    tgt_pools.pop(next(iter(tgt_pools)))
                 tgt_pools[tgt_spk] = build_speaker_pool_cached(
                     tgt_spk, self.wavlm_params, self.wavlm_cfg,
                     self.weighting, self.weighting,

@@ -45,6 +45,37 @@ from knnsvc_tpu.match.smoothness import (
 
 KNN_CANDIDATES = 32  # ref :1203
 
+# Per-ref-pool device-side preparation memo: the SpeakerPool concat
+# properties re-run np.concatenate on every access and quantize_pool is an
+# O(P*D) host pass + transfer; bulk conversion shares one target pool across
+# every source speaker, so prepare once. Entries hold a strong reference to
+# the pool object, so id() keys cannot be recycled while cached.
+_DEVICE_POOL_CACHE: dict[int, tuple] = {}
+_DEVICE_POOL_MAX = 2
+
+
+def _prepare_ref_pool(ref_pool: SpeakerPool, need_fp32_matching: bool,
+                      need_harmonics: bool, need_quantized: bool) -> dict:
+    key = id(ref_pool)
+    entry = _DEVICE_POOL_CACHE.get(key)
+    if entry is None or entry[0] is not ref_pool:
+        if len(_DEVICE_POOL_CACHE) >= _DEVICE_POOL_MAX:
+            _DEVICE_POOL_CACHE.pop(next(iter(_DEVICE_POOL_CACHE)))
+        entry = (ref_pool, {})
+        _DEVICE_POOL_CACHE[key] = entry
+    prep = entry[1]
+    if "host_matching" not in prep:
+        prep["host_matching"] = ref_pool.matching
+        prep["synth"] = jnp.asarray(ref_pool.synth)
+        prep["f0"] = jnp.asarray(ref_pool.f0)
+    if need_fp32_matching and "matching" not in prep:
+        prep["matching"] = jnp.asarray(prep["host_matching"])
+    if need_harmonics and "harmonics" not in prep:
+        prep["harmonics"] = jnp.asarray(ref_pool.harmonics)
+    if need_quantized and "quantized" not in prep:
+        prep["quantized"] = quantize_pool(prep["host_matching"])
+    return prep
+
 
 @dataclasses.dataclass
 class ConversionFeatures:
@@ -87,8 +118,11 @@ def match_utterance(
         assert quantized is not None
         nearest_nbrs, _ = knn_topk_quantized(q, quantized, k=KNN_CANDIDATES)
     else:
+        assert matching_list is not None
         nearest_nbrs, _ = knn_topk(q, matching_list, k=KNN_CANDIDATES,
                                    approx=(matcher == "approx"))
+    if post_opt.concat_weight != -1.0:
+        assert matching_list is not None, "concat cost needs the fp32 pool"
 
     qf0 = jnp.asarray(query_f0)
     shifted_f0 = shift_f0_to_target_register(qf0, matching_f0)
@@ -166,11 +200,17 @@ def match_at_inference_time(
             duration_limit=duration_limit,
         )
 
-    matching_list = jnp.asarray(ref_pool.matching)
-    synth_list = jnp.asarray(ref_pool.synth)
-    matching_f0 = jnp.asarray(ref_pool.f0)
-    harmonics_list = jnp.asarray(ref_pool.harmonics) if uses_harmonics(ckpt_type) else None
-    quantized = quantize_pool(ref_pool.matching) if matcher == "int8" else None
+    # the fp32 matching pool only goes to the device when something reads it
+    # (int8 matcher + disabled concat cost never does — that is the 4x HBM
+    # saving the quantized pool exists for)
+    need_fp32_matching = matcher != "int8" or popt.concat_weight != -1.0
+    prep = _prepare_ref_pool(ref_pool, need_fp32_matching,
+                             uses_harmonics(ckpt_type), matcher == "int8")
+    matching_list = prep.get("matching")
+    synth_list = prep["synth"]
+    matching_f0 = prep["f0"]
+    harmonics_list = prep.get("harmonics")
+    quantized = prep.get("quantized")
 
     results: dict[str, ConversionFeatures] = {}
     for item, pools in query_pool.utterances.items():

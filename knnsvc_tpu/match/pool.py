@@ -295,11 +295,19 @@ def build_speaker_pool_cached(
     import hashlib
 
     os.makedirs(cache_dir, exist_ok=True)
+    # fingerprint the MODEL too — a cache keyed only on paths/weights would
+    # silently serve pools built with different WavLM parameters
+    fp = hashlib.sha1()
+    for probe in (wavlm_params.get("encoder", {}).get("rel_attn_bias"),
+                  wavlm_params.get("layer_norm", {}).get("scale")):
+        if probe is not None:
+            fp.update(np.asarray(probe).tobytes())
     key_src = (str(Path(path).resolve())
                + "|" + np.asarray(match_weights).tobytes().hex()
                + "|" + np.asarray(synth_weights).tobytes().hex()
                + "|" + str(kwargs.get("duration_limit"))
-               + "|" + kwargs.get("encode_mode", "exact"))
+               + "|" + kwargs.get("encode_mode", "exact")
+               + "|" + fp.hexdigest())
     key = hashlib.sha1(key_src.encode()).hexdigest()[:16]
     cache_file = Path(cache_dir) / f"{Path(path).name}_{key}.pool.npz"
     if cache_file.is_file():

@@ -22,6 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# same tile bound as match/knn.py: cap the materialized (q_chunk, P) distance
+# tile (the int8 dot's int32 output is the big intermediate)
+_MAX_TILE_ELEMS = 64 * 1024 * 1024
+
 
 class QuantizedPool(NamedTuple):
     values: jax.Array      # (P, D) int8
@@ -53,13 +57,30 @@ def knn_topk_quantized(query: jax.Array, pool: QuantizedPool, k: int = 32,
     q_norm = jnp.linalg.norm(q8.astype(jnp.float32), axis=1, keepdims=True)
     q_inv = jnp.where(q_norm > 0, 1.0 / q_norm, 0.0)
 
-    dot = jax.lax.dot_general(
-        q8, pool.values, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).astype(jnp.float32)                                   # (Q, P)
-    dists = 1.0 - dot * q_inv * pool.inv_norms[None, :]
-    if approx:
-        vals, idx = jax.lax.approx_min_k(dists, k, recall_target=0.99)
-        return idx.astype(jnp.int32), vals
-    neg_vals, idx = jax.lax.top_k(-dists, k)
-    return idx.astype(jnp.int32), -neg_vals
+    Q = q8.shape[0]
+    P = pool.values.shape[0]
+
+    def tile(q8c, q_invc):
+        dot = jax.lax.dot_general(
+            q8c, pool.values, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)                               # (qc, P)
+        dists = 1.0 - dot * q_invc * pool.inv_norms[None, :]
+        if approx:
+            vals, idx = jax.lax.approx_min_k(dists, k, recall_target=0.99)
+            return idx.astype(jnp.int32), vals
+        neg_vals, idx = jax.lax.top_k(-dists, k)
+        return idx.astype(jnp.int32), -neg_vals
+
+    q_chunk = max(1, _MAX_TILE_ELEMS // max(P, 1))
+    if Q <= q_chunk:
+        return tile(q8, q_inv)
+    n_chunks = -(-Q // q_chunk)
+    pad = n_chunks * q_chunk - Q
+    q8p = jnp.pad(q8, ((0, pad), (0, 0)))
+    q_invp = jnp.pad(q_inv, ((0, pad), (0, 0)))
+    idx, vals = jax.lax.map(
+        lambda args: tile(*args),
+        (q8p.reshape(n_chunks, q_chunk, -1), q_invp.reshape(n_chunks, q_chunk, 1)),
+    )
+    return idx.reshape(-1, k)[:Q], vals.reshape(-1, k)[:Q]

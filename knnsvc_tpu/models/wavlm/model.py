@@ -274,12 +274,11 @@ def _scan_layers(x: jax.Array, stacked: Params, pos_bias: jax.Array | None,
 
 
 _jit_position_bias = jax.jit(compute_position_bias, static_argnames=("seq_len", "num_buckets", "max_distance"))
-# weak-keyed on the bias table array: entries die with the params (an
-# id()-keyed cache could silently serve model A's bias to model B after
-# address reuse)
-import weakref
-
-_POS_BIAS_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+# keyed by id(table) BUT each entry keeps a strong reference to the table, so
+# the id can never be recycled while the entry lives (arrays are neither
+# hashable nor weak-referenceable, ruling out WeakKeyDictionary). Bounded LRU.
+_POS_BIAS_CACHE: dict[int, tuple] = {}  # id -> (table_ref, {seq_len: bias})
+_POS_BIAS_MAX_TABLES = 4
 
 
 def cached_position_bias(params: Params, cfg: WavLMConfig, seq_len: int) -> jax.Array | None:
@@ -293,10 +292,14 @@ def cached_position_bias(params: Params, cfg: WavLMConfig, seq_len: int) -> jax.
     if isinstance(table, jax.core.Tracer):
         # inside an outer jit trace: no host-side caching, just inline
         return compute_position_bias(table, seq_len, cfg.num_buckets, cfg.max_distance)
-    try:
-        per_table = _POS_BIAS_CACHE.setdefault(table, {})
-    except TypeError:  # table not weak-referenceable: compute uncached
-        return _jit_position_bias(table, seq_len, cfg.num_buckets, cfg.max_distance)
+    key = id(table)
+    entry = _POS_BIAS_CACHE.get(key)
+    if entry is None or entry[0] is not table:
+        if len(_POS_BIAS_CACHE) >= _POS_BIAS_MAX_TABLES:
+            _POS_BIAS_CACHE.pop(next(iter(_POS_BIAS_CACHE)))
+        entry = (table, {})
+        _POS_BIAS_CACHE[key] = entry
+    per_table = entry[1]
     if seq_len not in per_table:
         if len(per_table) > 16:
             per_table.clear()

@@ -58,6 +58,8 @@ def initialize_distributed(coordinator_address: str | None = None,
     already initialized or single-process."""
     import jax
 
+    if coordinator_address is None and (num_processes is None or num_processes <= 1):
+        return  # single-process: nothing to do
     try:
         jax.distributed.initialize(coordinator_address, num_processes, process_id)
     except (RuntimeError, ValueError) as e:
