@@ -62,8 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["highest", "high", "fastest"],
                         help="matmul/conv precision: highest = fp32 parity, fastest = bf16 MXU")
     parser.add_argument("--matcher", type=str, default="exact",
-                        choices=["exact", "approx", "int8"],
-                        help="kNN candidate search: exact (parity), approx (aggregated top-k), int8 (quantized pool)")
+                        choices=["exact", "approx", "int8", "sharded"],
+                        help="kNN candidate search: exact (parity), approx (aggregated "
+                             "top-k), int8 (quantized pool), sharded (pool sharded over "
+                             "all devices' Mesh 'pool' axis, distributed top-k merge)")
     return parser
 
 

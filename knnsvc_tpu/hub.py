@@ -311,20 +311,20 @@ class KnnSvc:
                          prioritize_f0: bool = True, post_opt: str = "no_post_opt",
                          duration_limit: float | None = None,
                          required_subset=None, query_pool=None, ref_pool=None,
-                         matcher: str = "exact") -> dict[str, ConversionFeatures]:
+                         matcher: str = "exact", mesh=None) -> dict[str, ConversionFeatures]:
         return match_at_inference_time(
             src_path, ref_path, self.wavlm_params, self.wavlm_cfg,
             self.weighting, self.weighting, topk=topk, prioritize_f0=prioritize_f0,
             ckpt_type=self.ckpt_type, required_subset=required_subset,
             post_opt=post_opt, duration_limit=duration_limit,
-            query_pool=query_pool, ref_pool=ref_pool, matcher=matcher,
+            query_pool=query_pool, ref_pool=ref_pool, matcher=matcher, mesh=mesh,
         )
 
     def convert_pair(self, src_wav_file: str, ref_wav_file: str, topk: int = 4,
                      prioritize_f0: bool = True, post_opt: str = "no_post_opt",
                      tgt_loudness_db: float | None = None,
                      output_path: str | None = None,
-                     matcher: str = "exact") -> str:
+                     matcher: str = "exact", mesh=None) -> str:
         """Single file -> single file (ref special_match :937-1023). Writes
         `<src_dir>/<src>_to_<ref>_knn_<ckpt_type>_<post_opt>.wav` unless
         output_path is given; returns the output path. (The reference
@@ -333,7 +333,7 @@ class KnnSvc:
         (ref :997-1003)."""
         results = self.convert_features(
             Path(src_wav_file), Path(ref_wav_file), topk=topk,
-            prioritize_f0=prioritize_f0, post_opt=post_opt, matcher=matcher,
+            prioritize_f0=prioritize_f0, post_opt=post_opt, matcher=matcher, mesh=mesh,
         )
         # pools key utterances by str(Path(...)) — normalize the lookup so
         # './x.wav' or 'dir//x.wav' inputs still resolve
@@ -364,7 +364,7 @@ class KnnSvc:
                      resume: bool = False,
                      batch_vocode: bool = False,
                      pool_cache_dir: str | None = None,
-                     matcher: str = "exact",
+                     matcher: str = "exact", mesh=None,
                      max_cached_pools: int = 8) -> list[str]:
         """Dataset -> dataset conversion (ref bulk_match :1027-1156): every
         (src speaker, tgt speaker) pair except same-index self pairs; outputs
@@ -448,7 +448,7 @@ class KnnSvc:
                     spk, tgt_spk, topk=topk, prioritize_f0=prioritize_f0,
                     post_opt=post_opt, duration_limit=duration_limit,
                     required_subset=pair_subset, query_pool=src_pool,
-                    ref_pool=tgt_pool_for(tgt_spk), matcher=matcher,
+                    ref_pool=tgt_pool_for(tgt_spk), matcher=matcher, mesh=mesh,
                 )
                 batch_preds: dict[str, np.ndarray] = {}
                 if batch_vocode and results:

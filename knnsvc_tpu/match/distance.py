@@ -17,11 +17,19 @@ from knnsvc_tpu.precision import get_precision
 
 
 def cosine_distance(source: jax.Array, pool: jax.Array, eps: float = 0.0) -> jax.Array:
-    """1 - cosine similarity. source (Q, D), pool (P, D) -> (Q, P)."""
+    """1 - cosine similarity. source (Q, D), pool (P, D) -> (Q, P).
+
+    Zero-norm rows (digital silence, VAD-trimmed edges, pool padding) get the
+    maximum distance 2.0 instead of NaN, so they can never poison top-k. The
+    reference merely *detects* NaN and aborts (lib_ongaku_test.py:166-169);
+    producing a finite worst-case distance is strictly safer.
+    """
     src_norm = jnp.linalg.norm(source, axis=-1, keepdims=True)
     pool_norm = jnp.linalg.norm(pool, axis=-1, keepdims=True)
     dot = jnp.dot(source, pool.T, preferred_element_type=jnp.float32, precision=get_precision())
-    return 1.0 - dot / (src_norm * pool_norm.T + eps)
+    denom = src_norm * pool_norm.T + eps
+    cos = jnp.where(denom > 0.0, dot / jnp.where(denom > 0.0, denom, 1.0), -1.0)
+    return 1.0 - cos
 
 
 def weighted_cosine_distance(source: jax.Array, pool: jax.Array,
@@ -39,4 +47,6 @@ def weighted_cosine_distance(source: jax.Array, pool: jax.Array,
     pool_norms_sq = jnp.dot(weights ** 2, (pool ** 2).T,
                             preferred_element_type=jnp.float32,
                             precision=get_precision())             # (Q, P)
-    return 1.0 - dot / (src_norm[:, None] * jnp.sqrt(pool_norms_sq))
+    denom = src_norm[:, None] * jnp.sqrt(pool_norms_sq)
+    cos = jnp.where(denom > 0.0, dot / jnp.where(denom > 0.0, denom, 1.0), -1.0)
+    return 1.0 - cos

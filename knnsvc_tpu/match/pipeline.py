@@ -55,7 +55,8 @@ _DEVICE_POOL_MAX = 2
 
 
 def _prepare_ref_pool(ref_pool: SpeakerPool, need_fp32_matching: bool,
-                      need_harmonics: bool, need_quantized: bool) -> dict:
+                      need_harmonics: bool, need_quantized: bool,
+                      mesh=None) -> dict:
     key = id(ref_pool)
     entry = _DEVICE_POOL_CACHE.get(key)
     if entry is None or entry[0] is not ref_pool:
@@ -74,6 +75,11 @@ def _prepare_ref_pool(ref_pool: SpeakerPool, need_fp32_matching: bool,
         prep["harmonics"] = jnp.asarray(ref_pool.harmonics)
     if need_quantized and "quantized" not in prep:
         prep["quantized"] = quantize_pool(prep["host_matching"])
+    if mesh is not None and prep.get("mesh") is not mesh:
+        from knnsvc_tpu.parallel.sharded_knn import shard_pool
+
+        prep["mesh"] = mesh
+        prep["sharded"], prep["sharded_len"] = shard_pool(prep["host_matching"], mesh)
     return prep
 
 
@@ -104,19 +110,31 @@ def match_utterance(
     prioritize_f0: bool = True,
     matcher: str = "exact",
     quantized: QuantizedPool | None = None,
+    mesh=None,
+    sharded_pool=None,
+    sharded_len=None,
 ) -> ConversionFeatures:
     """Convert one utterance against a prepared (concatenated) target pool.
 
     matcher: 'exact' (reference-parity top-k), 'approx' (TPU aggregated
     top-k, ~4x faster at hours-scale pools), 'int8' (quantized pool matmul,
-    ~8x, pass `quantized`). Everything downstream of the candidate search
-    (concat cost, weights, gathers) stays fp32."""
+    ~8x, pass `quantized`), 'sharded' (pool sharded over a Mesh 'pool' axis
+    with a local-top-k + all_gather merge — pass `mesh`/`sharded_pool`/
+    `sharded_len`; the distributed generalization of the reference's chunk
+    loops, ref ddsp_prematch_dataset.py:1195-1210). Everything downstream of
+    the candidate search (concat cost, weights, gathers) stays fp32."""
     assert prioritize_f0, "prioritize_f0 is mandatory on the reference live path (ref :1375)"
 
     q = jnp.asarray(query_seq)
     if matcher == "int8":
         assert quantized is not None
         nearest_nbrs, _ = knn_topk_quantized(q, quantized, k=KNN_CANDIDATES)
+    elif matcher == "sharded":
+        from knnsvc_tpu.parallel.sharded_knn import sharded_knn_topk
+
+        assert mesh is not None and sharded_pool is not None and sharded_len is not None
+        nearest_nbrs, _ = sharded_knn_topk(q, sharded_pool, jnp.int32(sharded_len),
+                                           mesh, k=KNN_CANDIDATES)
     else:
         assert matching_list is not None
         nearest_nbrs, _ = knn_topk(q, matching_list, k=KNN_CANDIDATES,
@@ -183,6 +201,7 @@ def match_at_inference_time(
     query_pool: SpeakerPool | None = None,
     ref_pool: SpeakerPool | None = None,
     matcher: str = "exact",
+    mesh=None,
 ) -> dict[str, ConversionFeatures]:
     """Full source x target conversion. Returns {src utterance path:
     ConversionFeatures}. Pools may be passed in to reuse across pairs (fixes
@@ -200,12 +219,20 @@ def match_at_inference_time(
             duration_limit=duration_limit,
         )
 
-    # the fp32 matching pool only goes to the device when something reads it
-    # (int8 matcher + disabled concat cost never does — that is the 4x HBM
-    # saving the quantized pool exists for)
-    need_fp32_matching = matcher != "int8" or popt.concat_weight != -1.0
+    if matcher == "sharded" and mesh is None:
+        import jax
+
+        from knnsvc_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=1, n_pool=len(jax.devices()))
+
+    # the fp32 matching pool only goes to the device (replicated) when
+    # something reads it (int8/sharded matchers + disabled concat cost never
+    # do — that is the HBM saving the quantized/sharded pools exist for)
+    need_fp32_matching = matcher not in ("int8", "sharded") or popt.concat_weight != -1.0
     prep = _prepare_ref_pool(ref_pool, need_fp32_matching,
-                             uses_harmonics(ckpt_type), matcher == "int8")
+                             uses_harmonics(ckpt_type), matcher == "int8",
+                             mesh=mesh if matcher == "sharded" else None)
     matching_list = prep.get("matching")
     synth_list = prep["synth"]
     matching_f0 = prep["f0"]
@@ -220,5 +247,7 @@ def match_at_inference_time(
             pools.matching, pools.f0, matching_list, synth_list, matching_f0,
             harmonics_list, ckpt_type, popt, topk=topk, prioritize_f0=prioritize_f0,
             matcher=matcher, quantized=quantized,
+            mesh=prep.get("mesh"), sharded_pool=prep.get("sharded"),
+            sharded_len=prep.get("sharded_len"),
         )
     return results

@@ -202,3 +202,25 @@ def test_quantized_pool_zero_row_safe():
     qp = quantize_pool(pool)
     idx, vals = knn_topk_quantized(jnp.ones((3, 16)), qp, k=4, approx=False)
     assert np.all(np.isfinite(np.asarray(vals)))
+
+
+def test_zero_norm_rows_finite():
+    """All-zero frames (silence / padding) must yield finite distances and
+    sane top-k, never NaN (ref only detects NaN: lib_ongaku_test.py:166-169)."""
+    rng = np.random.default_rng(7)
+    q = rng.standard_normal((9, 32)).astype(np.float32)
+    p = rng.standard_normal((57, 32)).astype(np.float32)
+    q[3] = 0.0
+    p[10] = 0.0
+    d = np.asarray(cosine_distance(jnp.asarray(q), jnp.asarray(p)))
+    assert np.all(np.isfinite(d))
+    # zero rows sit at max distance, so they are never preferred neighbors
+    assert np.all(d[3] == 2.0)
+    assert np.all(d[:, 10] == 2.0)
+    idx, vals = knn_topk(jnp.asarray(q), jnp.asarray(p), k=4)
+    assert np.all(np.isfinite(np.asarray(vals)))
+    assert 10 not in np.asarray(idx)
+
+    w = np.abs(rng.standard_normal((9, 32))).astype(np.float32)
+    dw = np.asarray(weighted_cosine_distance(jnp.asarray(q), jnp.asarray(p), jnp.asarray(w)))
+    assert np.all(np.isfinite(dw))

@@ -209,3 +209,45 @@ def test_match_at_inference_time_fast_matchers(tiny_world, matcher):
         # fast matchers pick near-identical neighbors -> features mostly equal
         frac_same = np.mean(np.all(np.isclose(a, b, atol=1e-4), axis=1))
         assert frac_same > 0.8, (matcher, frac_same)
+
+
+def test_match_at_inference_time_sharded_matches_exact(tiny_world):
+    """Pool-sharded distributed kNN over the 8 virtual devices through the
+    production pipeline must reproduce the exact matcher's output (it computes
+    the same cosine distances, merged across shards)."""
+    root, src_dir, tgt_dir, cfg, params, w = tiny_world
+    exact = match_at_inference_time(
+        src_dir, tgt_dir, params, cfg, w, w, ckpt_type="mix",
+        post_opt="no_post_opt")
+    sharded = match_at_inference_time(
+        src_dir, tgt_dir, params, cfg, w, w, ckpt_type="mix",
+        post_opt="no_post_opt", matcher="sharded")
+    for key in exact:
+        np.testing.assert_allclose(
+            exact[key].out_feats_weighted, sharded[key].out_feats_weighted, atol=1e-5)
+        np.testing.assert_allclose(
+            exact[key].shifted_query_f0, sharded[key].shifted_query_f0, atol=1e-6)
+        np.testing.assert_allclose(
+            exact[key].harmonics_out_feats_weighted,
+            sharded[key].harmonics_out_feats_weighted, atol=1e-5)
+
+
+def test_full_conversion_sharded_writes_wav(tiny_world, tmp_path):
+    """hub-level pair conversion with the pool sharded across the mesh."""
+    root, src_dir, tgt_dir, cfg, params, w = tiny_world
+    from knnsvc_tpu.config import ModelFamily
+    from knnsvc_tpu.hub import KnnSvc
+    from knnsvc_tpu.models.hifigan import init_generator_params
+
+    h = HiFiGANConfig.from_dict(SMALL_HIFIGAN)
+    gen = init_generator_params(jax.random.PRNGKey(1), h, ModelFamily.MIX)
+    knn = KnnSvc(params, cfg, gen, h, ckpt_type="mix")
+    knn.weighting = w
+
+    out = knn.convert_pair(str(src_dir / "utt1.wav"), str(tgt_dir / "ref1.wav"),
+                           output_path=str(tmp_path / "out_sharded.wav"),
+                           matcher="sharded")
+    from knnsvc_tpu.io.audio import load_audio
+
+    y, sr = load_audio(out)
+    assert sr == 16000 and np.max(np.abs(y)) <= 1.0 and np.max(np.abs(y)) > 1e-6
