@@ -128,20 +128,29 @@ def yin_f0(
 
 def get_f0(x: np.ndarray, sr: int, audio_path: str | None = None,
            hop: int = DEFAULT_HOP, use_sidecar: bool = True,
-           write_sidecar: bool = True) -> np.ndarray:
-    """Reference-compatible entry: sidecar if present, else extractor (Harvest
-    native lib if built, else YIN), caching the result as a sidecar
-    (ref ddsp_prematch_dataset.py:372-386)."""
+           write_sidecar: bool = True, method: str = "harvest") -> np.ndarray:
+    """Reference-compatible entry: sidecar if present, else extractor,
+    caching the result as a sidecar (ref ddsp_prematch_dataset.py:372-386).
+
+    method: 'harvest' (native parity-grade Harvest, the live-path default —
+    same extractor family as the reference's pyworld call), 'fast' (native
+    DIO+refinement, ~25x faster, for latency-sensitive serving), or 'yin'
+    (pure-numpy fallback). harvest/fast fall back to YIN when the native
+    toolchain is unavailable."""
     if use_sidecar and audio_path is not None:
         cached = load_f0_sidecar(audio_path)
         if cached is not None:
             return cached
-    try:
-        from knnsvc_tpu.dsp.harvest import harvest_f0  # native C++ port
-
-        f0 = harvest_f0(x, sr, hop=hop)
-    except (ImportError, OSError):
+    if method == "yin":
         f0 = yin_f0(x, sr, hop=hop)
+    else:
+        try:
+            from knnsvc_tpu.dsp import harvest as native
+
+            fn = native.dio_f0 if method == "fast" else native.harvest_f0
+            f0 = fn(x, sr, hop=hop)
+        except (ImportError, OSError):
+            f0 = yin_f0(x, sr, hop=hop)
     if write_sidecar and audio_path is not None:
         try:
             save_f0_sidecar(audio_path, f0)

@@ -29,8 +29,25 @@ REFERENCE_ROOT = pathlib.Path("/root/reference")
 sys.path.insert(0, str(REPO_ROOT))
 
 
+# Tier split (see pytest.ini): these modules hold the torch-parity and
+# heavy-compile tests. Everything else is the fast wiring tier
+# (`pytest -m "not slow"`), kept under ~2 min so a green run fits in a
+# driver window.
+SLOW_MODULES = {
+    "test_wavlm",
+    "test_hifigan",
+    "test_ops",
+    "test_dsp",
+    "test_training",
+    "test_train_loop",
+    "test_pipeline_parity",
+}
+
+
 def pytest_collection_modifyitems(config, items):
-    pass
+    for item in items:
+        if item.module.__name__.rsplit(".", 1)[-1] in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
 
 
 @pytest.fixture(scope="session", autouse=True)
