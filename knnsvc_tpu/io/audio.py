@@ -1,10 +1,15 @@
 """Audio I/O without native library dependencies.
 
 The reference reads audio with torchaudio/librosa (libsndfile/ffmpeg) and
-writes PCM_32 WAV via soundfile (ref lib_ongaku_test.py:89-143). None of those
-native libs are available here, so WAV I/O is implemented directly on the RIFF
-container (numpy), supporting PCM 16/24/32-bit and IEEE float. mp3/flac are
-gated with a clear error (no codec available in this environment).
+writes PCM_32 WAV via soundfile or mp3/flac via pydub (ref
+lib_ongaku_test.py:89-143). None of those native libs are available here, so:
+- WAV I/O is implemented directly on the RIFF container (numpy), supporting
+  PCM 16/24/32-bit and IEEE float;
+- FLAC reads use the clean-room native decoder (native/flacdec/flac.cc) and
+  writes the clean-room 16-bit encoder (native/flacdec/flacenc.cc);
+- mp3 reads decode through SDL_mixer via pygame (knnsvc_tpu/io/mp3.py);
+  mp3 WRITES are gated with a clear error (no encoder in this environment —
+  use .wav or .flac).
 
 Output convention matches the reference exactly: float waveforms are peak-
 normalized only if |x|>1, scaled by 2^31-1 and written as PCM_32
@@ -38,10 +43,14 @@ def load_audio(path: Union[str, os.PathLike], normalize: bool = True) -> tuple[n
         from knnsvc_tpu.io.flac import decode_flac  # native decoder
 
         return decode_flac(path, normalize=normalize)
+    if ext == ".mp3":
+        from knnsvc_tpu.io.mp3 import decode_mp3  # SDL_mixer codec via pygame
+
+        return decode_mp3(path, normalize=normalize)
     if ext != ".wav":
         raise NotImplementedError(
-            f"Only WAV/FLAC decoding is available in this environment (got {ext}); "
-            "decode to wav first. (mp3 needs a codec library.)"
+            f"Only WAV/FLAC/mp3 decoding is available in this environment (got {ext}); "
+            "decode to wav first."
         )
     with open(path, "rb") as f:
         data = f.read()
@@ -127,9 +136,17 @@ def save_audio(filename: Union[str, os.PathLike], waveform, sample_rate: int) ->
         assert waveform.dtype == np.int32, waveform.dtype
 
     ext = os.path.splitext(filename)[-1].lower()
+    if ext == ".flac":
+        from knnsvc_tpu.io.flac import encode_flac
+
+        # int32 PCM (the WAV convention) re-enters as float for the 16-bit
+        # FLAC quantizer
+        encode_flac(filename, waveform.astype(np.float64) / (2 ** 31 - 1), sample_rate)
+        return
     if ext not in _SUPPORTED_WRITE_EXT:
         raise NotImplementedError(
-            f"Only WAV encoding is available in this environment (got {ext})."
+            f"Only WAV/FLAC encoding is available in this environment (got {ext}); "
+            "mp3 export needs an encoder library."
         )
 
     if waveform.ndim == 1:

@@ -71,3 +71,42 @@ def decode_flac(path: str, normalize: bool = True) -> tuple[np.ndarray, int]:
     if normalize:
         x = x / float(2 ** (bits.value - 1))
     return np.ascontiguousarray(x), sr.value
+
+
+def encode_flac(path: str, waveform: np.ndarray, sample_rate: int) -> None:
+    """Write (channels, T) or (T,) float [-1,1] / int16 audio as a 16-bit
+    FLAC (fixed predictors + Rice residuals; see native/flacdec/flacenc.cc).
+    The write-side of the reference's pydub flac export
+    (ref lib_ongaku_test.py:118-143; 16-bit here vs pydub's int32 payload —
+    documented divergence, FLAC tops out at 24-bit anyway)."""
+    lib = _load_library()
+    if not hasattr(lib, "_enc_ready"):
+        lib.flacenc_encode16.restype = ctypes.c_uint64
+        lib.flacenc_encode16.argtypes = [ctypes.POINTER(ctypes.c_int16),
+                                         ctypes.c_uint64, ctypes.c_int, ctypes.c_int]
+        lib.flacenc_copy.restype = None
+        lib.flacenc_copy.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64]
+        lib._enc_ready = True
+
+    x = np.asarray(waveform)
+    if x.ndim == 1:
+        x = x[None]
+    if x.dtype != np.int16:
+        xf = x.astype(np.float64)
+        peak = np.abs(xf).max() if xf.size else 0.0
+        if peak > 1:
+            xf = xf / peak
+        # scale by 32768 (clip the top code) so decode's /32768 round-trips
+        # without the 32767/32768 scale skew
+        x = np.clip(np.round(xf * 32768.0), -32768, 32767).astype(np.int16)
+    interleaved = np.ascontiguousarray(x.T).reshape(-1)
+    n_frames = x.shape[1]
+    size = lib.flacenc_encode16(
+        interleaved.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        n_frames, x.shape[0], sample_rate)
+    if size == 0:
+        raise ValueError("flac encode failed (invalid input)")
+    out = np.zeros(int(size), dtype=np.uint8)
+    lib.flacenc_copy(out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), size)
+    with open(path, "wb") as f:
+        f.write(out.tobytes())

@@ -103,3 +103,39 @@ def test_resample_vs_torchaudio_algorithm():
         theirs = torch_resample(x, orig, new)
         assert ours.shape == theirs.shape
         np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_save_audio_flac_roundtrip(tmp_path):
+    """save_audio('.flac') -> load_audio round-trips through the native
+    clean-room encoder + decoder (16-bit quantization is the only loss)."""
+    rng = np.random.default_rng(3)
+    t = np.arange(20000) / 16000
+    x = (0.5 * np.sin(2 * np.pi * 220 * t)
+         + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+    p = tmp_path / "rt.flac"
+    save_audio(p, x, 16000)
+    y, sr = load_audio(p)
+    assert sr == 16000
+    assert y.shape == (1, len(x))
+    assert np.abs(y[0] - x).max() < 1.0 / 32768 + 1e-7
+    # and it actually compresses the tonal signal
+    import os
+    assert os.path.getsize(p) < len(x) * 2
+
+
+def test_mp3_ingestion():
+    """mp3 pool audio decodes (ref accepts .mp3, ddsp_prematch_dataset.py:313).
+    Uses the mp3 sample shipped inside the pygame package."""
+    pygame = pytest.importorskip("pygame")
+    import pathlib
+
+    sample = pathlib.Path(pygame.__file__).parent / "examples" / "data" / "house_lo.mp3"
+    if not sample.is_file():
+        pytest.skip("pygame example mp3 not present")
+    x, sr = load_audio(sample)
+    # house_lo.mp3 is MPEG-2.5 11025 Hz mono; accept any valid MPEG rate
+    assert sr in (44100, 48000, 32000, 22050, 24000, 16000, 11025, 12000, 8000)
+    assert x.ndim == 2 and x.shape[1] > sr  # > 1 s of audio
+    assert 5.0 < x.shape[1] / sr < 10.0     # known ~7.3 s sample
+    assert np.abs(x).max() > 0.1  # real signal, normalized to [-1, 1]
+    assert np.abs(x).max() <= 1.0
