@@ -120,22 +120,13 @@ struct Cand {
   double score;
 };
 
-// Integer-factor decimation with a windowed-sinc anti-alias low-pass.
-std::vector<double> decimate(const double* x, int n, int factor, int fs) {
-  if (factor <= 1) return std::vector<double>(x, x + n);
-  std::vector<double> y(x, x + n);
-  const double out_rate = static_cast<double>(fs) / factor;
-  fir_filter(&y, lowpass_kernel(0.4 * out_rate, fs));
-  std::vector<double> out((n + factor - 1) / factor);
-  for (size_t i = 0; i < out.size(); ++i) out[i] = y[i * factor];
-  return out;
-}
-
 // Stage 2: one channel's raw candidate track on the 1 ms grid.
 void channel_raw_candidates(const SignalSpectrum& spec, double boundary,
                             const std::vector<double>& frame_times,
-                            double f0_floor, double f0_ceil, float* out) {
-  BandSignal band = decimated_signal(spec, 2.0 * boundary, kChannelOversample);
+                            double f0_floor, double f0_ceil, float* out,
+                            BandCache* cache) {
+  BandSignal band = decimated_signal_cached(spec, 2.0 * boundary,
+                                            kChannelOversample, cache);
   fir_filter(&band.y, bandpass_kernel(boundary, band.rate));
 
   Events e[4];
@@ -308,7 +299,7 @@ void harvest_body(const double* x_in, int n_in, int fs_in,
   const TrackParams tp = track_params();
   // ---- decimate to ~8 kHz ----
   const int factor = std::max(1, static_cast<int>(std::round(fs_in / kTargetFs)));
-  std::vector<double> x = decimate(x_in, n_in, factor, fs_in);
+  std::vector<double> x = decimate_signal(x_in, n_in, factor, fs_in);
   const int fs = fs_in / factor;
   const int n = static_cast<int>(x.size());
 
@@ -326,11 +317,13 @@ void harvest_body(const double* x_in, int n_in, int fs_in,
   const int n_channels = static_cast<int>(
       std::ceil(std::log2(ceil_adj / floor_adj) * kChannelsPerOctave));
   std::vector<float> raw(static_cast<size_t>(n_channels) * n_frames);
+  BandCache band_cache;
   for (int c = 0; c < n_channels; ++c) {
     const double boundary =
         floor_adj * std::pow(2.0, static_cast<double>(c + 1) / kChannelsPerOctave);
     channel_raw_candidates(spec, boundary, frame_times, floor_adj, ceil_adj,
-                           raw.data() + static_cast<size_t>(c) * n_frames);
+                           raw.data() + static_cast<size_t>(c) * n_frames,
+                           &band_cache);
   }
 
   // ---- stage 3: official candidates ----

@@ -30,7 +30,8 @@ inline double nuttall(double x) {
 }
 
 struct SignalSpectrum {
-  std::vector<cplx> spec;  // forward FFT of the zero-padded signal
+  std::vector<cplx> half;  // bins 0..nfft/2 of the zero-padded signal's FFT
+                           // (real input: negative bins are conjugates)
   size_t nfft;
   int n;   // original sample count
   int fs;  // sample rate
@@ -44,9 +45,27 @@ inline SignalSpectrum make_spectrum(const double* x, int n, int fs,
   // pad so the longest filter (4 periods of f0_floor) cannot wrap
   s.nfft = next_pow2(static_cast<size_t>(n) +
                      static_cast<size_t>(fs / f0_floor * 4.0) + 2);
-  s.spec.assign(s.nfft, cplx(0.0, 0.0));
-  for (int i = 0; i < n; ++i) s.spec[i] = cplx(x[i], 0.0);
-  fft(s.spec, false);
+  // real-input FFT via even/odd complex packing: one nfft/2-point FFT
+  const size_t h = s.nfft / 2;
+  std::vector<cplx> z(h, cplx(0.0, 0.0));
+  for (int i = 0; i < n; ++i) {
+    if (i & 1)
+      z[i >> 1] += cplx(0.0, x[i]);
+    else
+      z[i >> 1] += cplx(x[i], 0.0);
+  }
+  fft(z, false);
+  s.half.resize(h + 1);
+  for (size_t k = 0; k <= h; ++k) {
+    const cplx zk = (k == h) ? z[0] : z[k];
+    const cplx zc = std::conj(z[(h - k) % h]);
+    const cplx even = 0.5 * (zk + zc);
+    const cplx odd = 0.5 * (zk - zc);  // still multiplied by i internally
+    const double ang = -2.0 * M_PI * static_cast<double>(k) / s.nfft;
+    const cplx tw(std::cos(ang), std::sin(ang));
+    // X[k] = E[k] + e^{-2pi i k/N} * O[k], O[k] = -i * odd
+    s.half[k] = even + tw * cplx(odd.imag(), -odd.real());
+  }
   return s;
 }
 
@@ -74,8 +93,8 @@ inline BandSignal decimated_signal(const SignalSpectrum& s,
   std::vector<cplx> t(m, cplx(0.0, 0.0));
   t[0] = cplx(0.0, 0.0);  // DC removed so zero crossings are meaningful
   for (size_t k = 1; k < m / 2; ++k) {
-    t[k] = s.spec[k] * scale;
-    t[m - k] = s.spec[s.nfft - k] * scale;
+    t[k] = s.half[k] * scale;
+    t[m - k] = std::conj(s.half[k]) * scale;  // real signal: X[-k] = X[k]*
   }
   fft(t, true);
   const size_t n_dec = std::min<size_t>(
@@ -99,6 +118,11 @@ inline void fir_filter(std::vector<double>* y, const std::vector<double>& k) {
   }
   *y = std::move(out);
 }
+
+// Integer-factor decimation with a windowed-sinc anti-alias low-pass,
+// computing only the strided outputs.
+inline std::vector<double> decimate_signal(const double* x, int n, int factor,
+                                           int fs);
 
 // Nuttall-windowed cosine band-pass at `center_hz`, length 4 periods + 1
 // (2 periods each side) at the signal's rate.
@@ -126,6 +150,47 @@ inline std::vector<double> lowpass_kernel(double cutoff_hz, double rate) {
   }
   for (double& v : k) v /= std::max(dc, 1e-12);
   return k;
+}
+
+// Channels are differentiated only by their short FIR — the decimated base
+// signal depends on nothing but the truncation size m, so consecutive
+// channels that land in the same power-of-two bucket share one IFFT.
+struct BandCache {
+  size_t m = 0;
+  BandSignal sig;
+};
+
+inline BandSignal decimated_signal_cached(const SignalSpectrum& s,
+                                          double band_edge_hz,
+                                          double oversample,
+                                          BandCache* cache) {
+  const double want_rate = std::min<double>(s.fs, oversample * band_edge_hz);
+  size_t m = next_pow2(static_cast<size_t>(std::ceil(s.nfft * want_rate / s.fs)));
+  m = std::min(m, s.nfft);
+  m = std::max<size_t>(m, 64);
+  if (cache->m != m) {
+    cache->sig = decimated_signal(s, band_edge_hz, oversample);
+    cache->m = m;
+  }
+  return cache->sig;  // copy: callers filter in place
+}
+
+inline std::vector<double> decimate_signal(const double* x, int n, int factor,
+                                           int fs) {
+  if (factor <= 1) return std::vector<double>(x, x + n);
+  const double out_rate = static_cast<double>(fs) / factor;
+  const std::vector<double> k = lowpass_kernel(0.4 * out_rate, fs);
+  const int half = static_cast<int>(k.size()) / 2;
+  std::vector<double> out((n + factor - 1) / factor);
+  for (size_t o = 0; o < out.size(); ++o) {
+    const int c = static_cast<int>(o) * factor;
+    const int j0 = std::max(0, half - c);
+    const int j1 = std::min<int>(static_cast<int>(k.size()), n + half - c);
+    double acc = 0.0;
+    for (int j = j0; j < j1; ++j) acc += k[j] * x[c + j - half];
+    out[o] = acc;
+  }
+  return out;
 }
 
 // ---------------------------------------------------------------------------

@@ -43,7 +43,7 @@ namespace worldline {
 namespace {
 
 constexpr double kTargetFs = 8000.0;
-constexpr double kChannelOversample = 8.0;  // band rate / boundary f0
+constexpr double kChannelOversample = 6.0;  // band rate / boundary f0
 
 struct Candidate {
   std::vector<double> f0;   // per frame
@@ -52,8 +52,9 @@ struct Candidate {
 
 Candidate channel_candidate(const SignalSpectrum& spec, double boundary_f0,
                             const std::vector<double>& frame_times,
-                            double f0_floor, double f0_ceil) {
-  BandSignal band = decimated_signal(spec, boundary_f0, kChannelOversample);
+                            double f0_floor, double f0_ceil, BandCache* cache) {
+  BandSignal band = decimated_signal_cached(spec, boundary_f0,
+                                            kChannelOversample, cache);
   fir_filter(&band.y, lowpass_kernel(boundary_f0, band.rate));
 
   Events e1 = interval_events(band.y, band.rate, true);
@@ -124,24 +125,13 @@ void fix_contour(std::vector<double>* f0p) {
   f0 = out;
 }
 
-// Integer-factor decimation with a windowed-sinc anti-alias low-pass.
-std::vector<double> decimate_input(const double* x, int n, int factor, int fs) {
-  if (factor <= 1) return std::vector<double>(x, x + n);
-  std::vector<double> y(x, x + n);
-  const double out_rate = static_cast<double>(fs) / factor;
-  fir_filter(&y, lowpass_kernel(0.4 * out_rate, fs));
-  std::vector<double> out((n + factor - 1) / factor);
-  for (size_t i = 0; i < out.size(); ++i) out[i] = y[i * factor];
-  return out;
-}
-
 }  // namespace
 
 void dio_f0(const double* x_in, int n_in, int fs_in, double frame_period_ms,
             double f0_floor, double f0_ceil, int channels_in_octave,
             double dev_threshold, double* f0_out, int n_frames) {
   const int factor = std::max(1, static_cast<int>(std::round(fs_in / kTargetFs)));
-  std::vector<double> x = decimate_input(x_in, n_in, factor, fs_in);
+  std::vector<double> x = decimate_signal(x_in, n_in, factor, fs_in);
   const int fs = fs_in / factor;
   const int n = static_cast<int>(x.size());
   const double ceil_eff = std::min(f0_ceil, 0.5 * fs - 1.0);
@@ -156,6 +146,7 @@ void dio_f0(const double* x_in, int n_in, int fs_in, double frame_period_ms,
 
   const int n_bands = static_cast<int>(
       std::ceil(std::log2(ceil_eff / f0_floor) * channels_in_octave)) + 1;
+  BandCache band_cache;
 
   // collect the candidate set per frame across all channels
   std::vector<std::vector<std::pair<double, double>>> cands(n_frames);  // (f0, dev)
@@ -163,7 +154,7 @@ void dio_f0(const double* x_in, int n_in, int fs_in, double frame_period_ms,
     const double boundary =
         f0_floor * std::pow(2.0, static_cast<double>(b + 1) / channels_in_octave);
     Candidate c = channel_candidate(spec, boundary, frame_times,
-                                    f0_floor, ceil_eff);
+                                    f0_floor, ceil_eff, &band_cache);
     for (int i = 0; i < n_frames; ++i) {
       if (c.f0[i] > 0.0) cands[i].emplace_back(c.f0[i], c.dev[i]);
     }
