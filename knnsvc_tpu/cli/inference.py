@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="kNN candidate search: exact (parity), approx (aggregated "
                              "top-k), int8 (quantized pool), sharded (pool sharded over "
                              "all devices' Mesh 'pool' axis, distributed top-k merge)")
+    parser.add_argument("--fast", type=str2bool, default=False,
+                        help="single-pair mode: device-resident serving path "
+                             "(pools/match/vocode stay in HBM, fast native f0; "
+                             "~10x lower latency, identical selections for "
+                             "--matcher exact)")
     return parser
 
 
@@ -92,6 +97,7 @@ def main(argv=None) -> int:
         out = knn.convert_pair(
             args.src, args.tgt, topk=args.topk, prioritize_f0=args.prioritize_f0,
             post_opt=args.post_opt, tgt_loudness_db=loudness, matcher=args.matcher,
+            fast=args.fast,
         )
         print("->", out)
         return 0

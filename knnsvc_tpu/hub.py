@@ -31,7 +31,8 @@ from knnsvc_tpu.dsp.f0 import get_f0 as extract_f0
 from knnsvc_tpu.io.audio import load_audio, resample, save_audio, to_mono
 from knnsvc_tpu.io.loudness import normalize_loudness
 from knnsvc_tpu.io.vad import vad_trim
-from knnsvc_tpu.match.pipeline import ConversionFeatures, match_at_inference_time
+from knnsvc_tpu.config import PostOpt
+from knnsvc_tpu.match.pipeline import ConversionFeatures, match_at_inference_time, match_utterance
 from knnsvc_tpu.match.pool import SpeakerPool, build_speaker_pool, build_speaker_pool_cached
 from knnsvc_tpu.models.hifigan import vocode as hifigan_vocode
 from knnsvc_tpu.models.wavlm import wavlm_extract_layer, wavlm_extract_all_layers
@@ -324,20 +325,46 @@ class KnnSvc:
                      prioritize_f0: bool = True, post_opt: str = "no_post_opt",
                      tgt_loudness_db: float | None = None,
                      output_path: str | None = None,
-                     matcher: str = "exact", mesh=None) -> str:
+                     matcher: str = "exact", mesh=None,
+                     fast: bool = False) -> str:
         """Single file -> single file (ref special_match :937-1023). Writes
         `<src_dir>/<src>_to_<ref>_knn_<ckpt_type>_<post_opt>.wav` unless
         output_path is given; returns the output path. (The reference
         sys.exit()s afterwards; we return.) Loudness normalization is applied
         only when tgt_loudness_db is set — the reference's is commented out
-        (ref :997-1003)."""
-        results = self.convert_features(
-            Path(src_wav_file), Path(ref_wav_file), topk=topk,
-            prioritize_f0=prioritize_f0, post_opt=post_opt, matcher=matcher, mesh=mesh,
-        )
-        # pools key utterances by str(Path(...)) — normalize the lookup so
-        # './x.wav' or 'dir//x.wav' inputs still resolve
-        feats = results[str(Path(src_wav_file))]
+        (ref :997-1003).
+
+        fast=True takes the device-resident serving path: pools, matching and
+        vocoding stay in HBM end-to-end (per-utterance host<->device traffic
+        = two waveform uploads + one download), f0 uses the fast native
+        extractor, and no VAD/pool caching applies. ~10x lower latency on
+        tunneled single-chip setups; selections are identical for the exact
+        matcher."""
+        if fast:
+            from knnsvc_tpu.match.pool import build_device_pool, load_utterance
+
+            src_wav = load_utterance(src_wav_file, self.sr)
+            ref_wav = load_utterance(ref_wav_file, self.sr)
+            src = build_device_pool(src_wav, self.wavlm_params, self.wavlm_cfg,
+                                    self.weighting, self.weighting, self.sr,
+                                    f0_method="fast", audio_path=src_wav_file)
+            ref = build_device_pool(ref_wav, self.wavlm_params, self.wavlm_cfg,
+                                    self.weighting, self.weighting, self.sr,
+                                    f0_method="fast", audio_path=ref_wav_file)
+            feats = match_utterance(
+                src.matching, src.f0, ref.matching, ref.synth, ref.f0,
+                ref.harmonics, ckpt_type=self.ckpt_type,
+                post_opt=PostOpt.parse(post_opt), topk=topk,
+                prioritize_f0=prioritize_f0, matcher=matcher, as_numpy=False)
+        else:
+            results = self.convert_features(
+                Path(src_wav_file), Path(ref_wav_file), topk=topk,
+                prioritize_f0=prioritize_f0, post_opt=post_opt, matcher=matcher,
+                mesh=mesh,
+            )
+            # pools key utterances by str(Path(...)) — normalize the lookup so
+            # './x.wav' or 'dir//x.wav' inputs still resolve
+            feats = results[str(Path(src_wav_file))]
         pred = self.vocode(
             feats.out_feats_weighted, feats.shifted_query_f0,
             feats.harmonics_out_feats_weighted,

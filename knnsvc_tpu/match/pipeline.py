@@ -24,10 +24,12 @@ behavior).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from pathlib import Path
 from typing import Iterable
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -44,6 +46,23 @@ from knnsvc_tpu.match.smoothness import (
 )
 
 KNN_CANDIDATES = 32  # ref :1203
+
+
+@functools.partial(jax.jit, static_argnames=("topk", "approx", "use_harmonics"))
+def _match_core(q, matching, synth, pool_f0, harmonics, qf0,
+                topk: int, approx: bool, use_harmonics: bool):
+    """The whole no_post_opt match as ONE compiled program: kNN + register
+    shift + f0-priority re-rank + top-k mean gathers. A single dispatch —
+    the eager per-op path pays a tunnel round-trip per jnp call on remote
+    TPU setups, which costs more than the compute."""
+    nearest_nbrs, _ = knn_topk(q, matching, k=KNN_CANDIDATES, approx=approx)
+    shifted = shift_f0_to_target_register(qf0, pool_f0)
+    out = jnp.mean(synth[nearest_nbrs[:, :topk]], axis=1)
+    harm = None
+    if use_harmonics:
+        pitched = sort_by_f0_compatibility(shifted, pool_f0, nearest_nbrs)[:, :topk]
+        harm = jnp.mean(harmonics[pitched], axis=1)
+    return out, shifted, harm
 
 # Per-ref-pool device-side preparation memo: the SpeakerPool concat
 # properties re-run np.concatenate on every access and quantize_pool is an
@@ -113,6 +132,7 @@ def match_utterance(
     mesh=None,
     sharded_pool=None,
     sharded_len=None,
+    as_numpy: bool = True,
 ) -> ConversionFeatures:
     """Convert one utterance against a prepared (concatenated) target pool.
 
@@ -122,10 +142,29 @@ def match_utterance(
     with a local-top-k + all_gather merge — pass `mesh`/`sharded_pool`/
     `sharded_len`; the distributed generalization of the reference's chunk
     loops, ref ddsp_prematch_dataset.py:1195-1210). Everything downstream of
-    the candidate search (concat cost, weights, gathers) stays fp32."""
+    the candidate search (concat cost, weights, gathers) stays fp32.
+
+    as_numpy=False keeps the outputs on the device (the zero-copy serving
+    path: results feed the vocoder without a round trip to the host)."""
     assert prioritize_f0, "prioritize_f0 is mandatory on the reference live path (ref :1375)"
 
     q = jnp.asarray(query_seq)
+
+    # fused fast path: the whole no_post_opt match is one compiled dispatch
+    if (not post_opt.enabled and post_opt.concat_weight == -1.0
+            and matcher in ("exact", "approx") and matching_list is not None):
+        use_harm = uses_harmonics(ckpt_type)
+        out, shifted, harm = _match_core(
+            q, matching_list, synth_list, matching_f0,
+            harmonics_list if use_harm else synth_list[:, :1],
+            jnp.asarray(query_f0), topk=topk, approx=(matcher == "approx"),
+            use_harmonics=use_harm)
+        if not as_numpy:
+            return ConversionFeatures(out, shifted, harm)
+        return ConversionFeatures(
+            np.asarray(out, dtype=np.float32),
+            np.asarray(shifted, dtype=np.float32),
+            None if harm is None else np.asarray(harm, dtype=np.float32))
     if matcher == "int8":
         assert quantized is not None
         nearest_nbrs, _ = knn_topk_quantized(q, quantized, k=KNN_CANDIDATES)
@@ -176,6 +215,8 @@ def match_utterance(
         else:
             harmonics_weighted = jnp.mean(harm_feats, axis=1)
 
+    if not as_numpy:
+        return ConversionFeatures(out_feats_weighted, shifted_f0, harmonics_weighted)
     return ConversionFeatures(
         out_feats_weighted=np.asarray(out_feats_weighted, dtype=np.float32),
         shifted_query_f0=np.asarray(shifted_f0, dtype=np.float32),

@@ -179,27 +179,129 @@ def chunked_wavlm_features(
 def harmonic_amplitudes(spec: np.ndarray, f0: np.ndarray, sr: int = SAMPLE_RATE) -> np.ndarray:
     """(T, 200) linear spec + (T,) f0 -> (T, 49) harmonic magnitudes
     (ref :391-404): gather the 8x linearly-interpolated spectrum at bins of
-    k*f0; unvoiced rows get [max spec bin, 0, ..., 0]; x0.0108."""
+    k*f0; unvoiced rows get [max spec bin, 0, ..., 0]; x0.0108.
+
+    The reference materializes the full 8x-interpolated spectrum (T, 1600)
+    then gathers 49 points per frame; here only the needed (T, 49) grid
+    points are interpolated directly — bit-identical output, 32x less work
+    (this sits on the timed pool-build path)."""
     T, n_bins = spec.shape
     L = n_bins * SPEC_INTERP_FACTOR
 
-    # torch F.interpolate(mode='linear', align_corners=False) on the bin axis
-    out_pos = (np.arange(L) + 0.5) / SPEC_INTERP_FACTOR - 0.5
+    harmonics = f0[:, None] * np.arange(1, N_HARMONICS + 1)[None, :]  # (T, 49) Hz
+    idx = np.round(np.clip(harmonics * 2 * L / sr, a_min=None, a_max=L)).astype(int)
+
+    # value of torch F.interpolate(mode='linear', align_corners=False) at the
+    # 8x grid point g: source position (g + 0.5)/8 - 0.5 between bins
+    in_range = idx < L                                                # == L hit the ref's zero pad column
+    g = np.where(in_range, idx, 0)
+    out_pos = (g + 0.5) / SPEC_INTERP_FACTOR - 0.5
     lo = np.clip(np.floor(out_pos).astype(int), 0, n_bins - 1)
     hi = np.clip(lo + 1, 0, n_bins - 1)
     frac = np.clip(out_pos - np.floor(out_pos), 0.0, 1.0)
     frac = np.where(out_pos < 0, 0.0, frac)
-    interp = spec[:, lo] * (1 - frac) + spec[:, hi] * frac            # (T, L)
-
-    harmonics = f0[:, None] * np.arange(1, N_HARMONICS + 1)[None, :]  # (T, 49) Hz
-    idx = np.round(np.clip(harmonics * 2 * L / sr, a_min=None, a_max=L)).astype(int)
-    padded = np.pad(interp, ((0, 0), (0, 1)))
-    gathered = np.take_along_axis(padded, idx, axis=1)                # (T, 49)
+    rows = np.arange(T)[:, None]
+    gathered = spec[rows, lo] * (1 - frac) + spec[rows, hi] * frac    # (T, 49)
+    gathered = np.where(in_range, gathered, 0.0)
 
     unvoiced = f0 == 0
     gathered[unvoiced, 1:] = 0.0
-    gathered[unvoiced, 0] = spec[unvoiced].max(axis=1)
+    gathered[unvoiced, 0] = spec[unvoiced].max(axis=1) if unvoiced.any() else 0.0
     return (HARMONIC_SCALE * gathered).astype(np.float32)
+
+
+def harmonic_amplitudes_jax(spec: jnp.ndarray, f0: jnp.ndarray,
+                            sr: int = SAMPLE_RATE) -> jnp.ndarray:
+    """Device-resident harmonic_amplitudes (jnp, jittable): same math as the
+    numpy version, for the zero-copy serving path where the spectrogram never
+    leaves HBM (host<->device transfers are the bottleneck on tunneled TPU
+    setups, and the (T, 200) spec is ~1 MB per 30 s)."""
+    T, n_bins = spec.shape
+    L = n_bins * SPEC_INTERP_FACTOR
+
+    harmonics = f0[:, None] * jnp.arange(1, N_HARMONICS + 1)[None, :]
+    idx = jnp.round(jnp.clip(harmonics * 2 * L / sr, max=L)).astype(jnp.int32)
+
+    in_range = idx < L
+    g = jnp.where(in_range, idx, 0)
+    out_pos = (g + 0.5) / SPEC_INTERP_FACTOR - 0.5
+    lo = jnp.clip(jnp.floor(out_pos).astype(jnp.int32), 0, n_bins - 1)
+    hi = jnp.clip(lo + 1, 0, n_bins - 1)
+    frac = jnp.clip(out_pos - jnp.floor(out_pos), 0.0, 1.0)
+    frac = jnp.where(out_pos < 0, 0.0, frac)
+    gathered = (jnp.take_along_axis(spec, lo, axis=1) * (1 - frac)
+                + jnp.take_along_axis(spec, hi, axis=1) * frac)
+    gathered = jnp.where(in_range, gathered, 0.0)
+
+    unvoiced = (f0 == 0)[:, None]
+    first = jnp.concatenate(
+        [jnp.max(spec, axis=1, keepdims=True),
+         jnp.zeros((T, N_HARMONICS - 1), spec.dtype)], axis=1)
+    gathered = jnp.where(unvoiced, first, gathered)
+    return (HARMONIC_SCALE * gathered).astype(jnp.float32)
+
+
+@dataclasses.dataclass
+class DevicePool:
+    """Device-resident pools for the zero-copy serving path: WavLM features,
+    f0 and harmonic amplitudes live in HBM end-to-end; the only host<->device
+    traffic per utterance is the waveform upload, the (tiny) native-f0 upload
+    and the final converted-waveform download. On tunneled TPU setups the
+    transfers + eager dispatches of the host-side SpeakerPool path cost more
+    than the entire compute."""
+
+    matching: jnp.ndarray   # (T, D)
+    synth: jnp.ndarray      # (T, D)
+    f0: jnp.ndarray         # (T,)
+    harmonics: jnp.ndarray  # (T, 49)
+
+
+def build_device_pool(
+    wav: np.ndarray,
+    wavlm_params,
+    wavlm_cfg: WavLMConfig,
+    match_weights: np.ndarray,
+    synth_weights: np.ndarray,
+    sr: int = SAMPLE_RATE,
+    f0_method: str = "fast",
+    audio_path: str | None = None,
+) -> DevicePool:
+    """Single-utterance pool that never leaves the device (30-s chunking as
+    in chunked_wavlm_features; one-hot layer weightings only — the serving
+    path). f0 runs natively on the host wav (the one array already there)."""
+    m_hot = one_hot_layer(match_weights)
+    s_hot = one_hot_layer(synth_weights)
+    assert m_hot is not None and s_hot is not None, "device pool needs one-hot weights"
+    layers = sorted({m_hot, s_hot})
+
+    feats: dict[int, list[jnp.ndarray]] = {l: [] for l in layers}
+    specs = []
+    chunk_len = CHUNK_SECONDS * sr
+    start = 0
+    while start < len(wav):
+        chunk = wav[start : start + chunk_len]
+        if len(chunk) <= MIN_CHUNK_SECONDS * sr:
+            break
+        n_pad = HOP_LENGTH - (len(chunk) % HOP_LENGTH)  # ref :284 pad quirk
+        chunk = np.pad(chunk, (0, n_pad))
+        x = jnp.asarray(chunk)[None]                    # the upload
+        for l in layers:
+            feats[l].append(wavlm_extract_layer(wavlm_params, wavlm_cfg, x,
+                                                output_layer=l)[0])
+        specs.append(linear_spectrogram(x[0]))
+        start += chunk_len
+
+    matching = jnp.concatenate(feats[m_hot], axis=0)
+    synth = matching if s_hot == m_hot else jnp.concatenate(feats[s_hot], axis=0)
+    T = matching.shape[0]
+    spec = jnp.concatenate(specs, axis=0)[:T]
+
+    f0_np = get_f0(wav, sr, audio_path=audio_path, method=f0_method,
+                   use_sidecar=audio_path is not None,
+                   write_sidecar=audio_path is not None)
+    f0 = jnp.asarray(np.asarray(f0_np[:T], dtype=np.float32))
+    harm = harmonic_amplitudes_jax(spec, f0, sr)
+    return DevicePool(matching=matching, synth=synth, f0=f0, harmonics=harm)
 
 
 def build_speaker_pool(

@@ -32,7 +32,8 @@ from knnsvc_tpu.parallel.mesh import make_mesh, data_sharding, replicated
 from knnsvc_tpu.train.dataset import MelDataset, batch_iterator
 from knnsvc_tpu.train.trainer import (
     TrainState,
-    eval_step,
+    eval_bucket,
+    eval_step_padded,
     init_train_state,
     make_optimizers,
     make_train_step,
@@ -59,7 +60,18 @@ def train(
     mesh=None,
     seed: int | None = None,
     resume_from: str | None = None,
+    compute_dtype: str | None = None,
+    checkpoint_backend: str = "pickle",
+    val_artifacts: int = 2,
 ) -> TrainState:
+    """compute_dtype='bfloat16' enables the mixed-precision train step (the
+    reference's fp16 AMP analogue, ref ddsp_train.py:153-155).
+    checkpoint_backend='orbax' stores best-val TrainStates through
+    orbax.CheckpointManager (async-capable, multi-host-safe) instead of the
+    reference-shaped g_/do_ pickle pair. val_artifacts: save the first N
+    validation utterances' generated audio + mel to logs/ at each validation
+    (the reference's tensorboard audio/spectrogram artifacts,
+    ref ddsp_train.py:320-336)."""
     family = ModelFamily.MIX if (h.with_harm if with_harm is None else with_harm) else ModelFamily.F0_ONLY
     os.makedirs(checkpoint_path, exist_ok=True)
     log_dir = Path(checkpoint_path) / "logs"
@@ -78,7 +90,17 @@ def train(
     opt_g, opt_d = make_optimizers(h)
     state = init_train_state(jax.random.PRNGKey(h.seed if seed is None else seed), h, family)
     start_epoch, start_steps = 0, 0
-    if resume_from is not None:
+    if resume_from is not None and checkpoint_backend == "orbax":
+        from knnsvc_tpu.io.orbax_ckpt import restore_train_state
+
+        try:
+            state, start_steps = restore_train_state(
+                os.path.join(resume_from, "orbax"), jax.device_get(state))
+            start_steps += 1
+            print(f"restored orbax checkpoint at step {start_steps}", flush=True)
+        except FileNotFoundError:
+            pass
+    elif resume_from is not None:
         # restore from a g_/do_ checkpoint pair (ref ddsp_train.py:113-133;
         # note the reference force-disables its own restore at :118-119)
         from knnsvc_tpu.hub import scan_checkpoint
@@ -97,7 +119,8 @@ def train(
             start_epoch = int(do.get("epoch", -1)) + 1
             print(f"restored from {cp_g} / {cp_do} at step {start_steps}", flush=True)
     state = jax.device_put(state, rep)
-    step_fn = make_train_step(h, family, opt_g, opt_d)
+    dtype = jnp.bfloat16 if compute_dtype in ("bfloat16", "bf16") else None
+    step_fn = make_train_step(h, family, opt_g, opt_d, compute_dtype=dtype)
 
     trainset = MelDataset(h, audio_root_train, feat_root_train, split=True, seed=h.seed)
     validset = MelDataset(h, audio_root_valid, feat_root_valid, split=False, shuffle=False)
@@ -116,32 +139,81 @@ def train(
         errs = []
         for j in range(len(validset) if max_val_items is None else min(max_val_items, len(validset))):
             item = validset[j]
-            batch = {k: jnp.asarray(item[k])[None] for k in ("feats", "audio", "mel_loss", "f0", "harmonics")}
-            err, _ = eval_step(state.g_params, h, family, batch)
+            # pad to a frame bucket: one compile per bucket, not per utterance
+            # length (masked error — see trainer.eval_step_padded)
+            T = item["feats"].shape[0]
+            Tb = eval_bucket(T)
+            mel_true = item["mel_loss"].shape[-1]
+
+            def fit(a, n, axis=0):
+                # clip-then-pad to exactly n along axis (full-utterance audio
+                # and mel can each run a hair past T*hop / T+1)
+                sl = [slice(None)] * a.ndim
+                sl[axis] = slice(0, n)
+                a = a[tuple(sl)]
+                widths = [(0, 0)] * a.ndim
+                widths[axis] = (0, n - a.shape[axis])
+                return np.pad(a, widths)
+
+            batch = {
+                "feats": jnp.asarray(fit(item["feats"], Tb))[None],
+                "audio": jnp.asarray(fit(item["audio"], Tb * h.hop_size))[None],
+                "mel_loss": jnp.asarray(fit(item["mel_loss"], Tb + 1, axis=-1))[None],
+                "f0": jnp.asarray(fit(item["f0"], Tb))[None],
+                "harmonics": jnp.asarray(fit(item["harmonics"], Tb))[None],
+            }
+            err, y_hat = eval_step_padded(state.g_params, h, family, batch,
+                                          jnp.int32(min(mel_true, Tb + 1)))
             errs.append(float(err))
+            if j < val_artifacts:
+                # the reference's tensorboard audio + mel-figure artifacts
+                # (ref ddsp_train.py:320-336) as plain files
+                from knnsvc_tpu.dsp.stft import log_mel_spectrogram
+                from knnsvc_tpu.io.audio import save_audio
+
+                wav = np.asarray(y_hat[0, 0, : T * h.hop_size])
+                save_audio(log_dir / f"val_{steps:08d}_{j}.wav", wav, h.sampling_rate)
+                mel = np.asarray(log_mel_spectrogram(
+                    jnp.asarray(wav)[None], n_fft=h.n_fft, num_mels=h.num_mels,
+                    sampling_rate=h.sampling_rate, hop_size=h.hop_size,
+                    win_size=h.win_size, fmin=h.fmin, fmax=h.fmax)[0])
+                np.save(log_dir / f"val_{steps:08d}_{j}_mel.npy", mel)
+                try:
+                    from knnsvc_tpu.utils.plotting import save_mel_figure
+
+                    save_mel_figure(log_dir / f"val_{steps:08d}_{j}_mel.png", mel)
+                except Exception:
+                    pass  # matplotlib absent: the .npy artifact remains
         val_err = float(np.mean(errs)) if errs else float("inf")
         log({"validation/mel_spec_error": val_err})
         print(f"validation at {steps}: mel err {val_err:.4f}", flush=True)
 
         if val_err < prev_min_val_err:
             prev_min_val_err, prev_min_val_err_step = val_err, steps
-            new_ckpts = [
-                os.path.join(checkpoint_path, f"g_{steps:08d}.knnsvc.pkl"),
-                os.path.join(checkpoint_path, f"do_{steps:08d}.knnsvc.pkl"),
-            ]
-            save_params(new_ckpts[0], {"generator": jax.device_get(state.g_params)})
-            save_params(new_ckpts[1], {
-                "mpd": jax.device_get(state.mpd_params),
-                "msd": jax.device_get(state.msd_params),
-                "optim_g": jax.device_get(state.opt_g),
-                "optim_d": jax.device_get(state.opt_d),
-                "steps": steps,
-                "epoch": epoch,
-            })
-            for old in cur_best_ckpts:
-                if os.path.exists(old):
-                    os.remove(old)
-            cur_best_ckpts = new_ckpts
+            if checkpoint_backend == "orbax":
+                from knnsvc_tpu.io.orbax_ckpt import save_train_state
+
+                save_train_state(os.path.join(checkpoint_path, "orbax"),
+                                 steps, jax.device_get(state), keep=1)
+                cur_best_ckpts = []
+            else:
+                new_ckpts = [
+                    os.path.join(checkpoint_path, f"g_{steps:08d}.knnsvc.pkl"),
+                    os.path.join(checkpoint_path, f"do_{steps:08d}.knnsvc.pkl"),
+                ]
+                save_params(new_ckpts[0], {"generator": jax.device_get(state.g_params)})
+                save_params(new_ckpts[1], {
+                    "mpd": jax.device_get(state.mpd_params),
+                    "msd": jax.device_get(state.msd_params),
+                    "optim_g": jax.device_get(state.opt_g),
+                    "optim_d": jax.device_get(state.opt_d),
+                    "steps": steps,
+                    "epoch": epoch,
+                })
+                for old in cur_best_ckpts:
+                    if os.path.exists(old):
+                        os.remove(old)
+                cur_best_ckpts = new_ckpts
 
     for epoch in range(start_epoch, training_epochs):
         if steps > max_steps:

@@ -92,7 +92,9 @@ def _merge_sn_buffers(updated, with_buffers):
     power-iterated values from `with_buffers` (same tree structure)."""
     def merge(path, a, b):
         names = {getattr(p, "key", None) for p in path}
-        return b if ({"u", "v_pow"} & names) else a
+        # cast back: under a bf16 compute dtype the power-iterated buffers
+        # come out bf16 while the master tree stays fp32
+        return b.astype(a.dtype) if ({"u", "v_pow"} & names) else a
 
     return jax.tree_util.tree_map_with_path(merge, updated, with_buffers)
 
@@ -113,39 +115,62 @@ def _mel(h: HiFiGANConfig, wav: jax.Array) -> jax.Array:
 
 
 def make_train_step(h: HiFiGANConfig, family: ModelFamily, opt_g: optax.GradientTransformation,
-                    opt_d: optax.GradientTransformation):
+                    opt_d: optax.GradientTransformation, compute_dtype=None):
     """Returns jitted train_step(state, batch) -> (state, metrics). batch:
     feats (B, T, 1024), audio (B, T*hop), mel_loss (B, mels, T'), f0 (B, T, 1),
-    harmonics (B, T, 49). Shard batch on 'data', replicate state; jit inserts
-    the cross-chip grad psum."""
+    harmonics (B, T, 1024?49). Shard batch on 'data', replicate state; jit
+    inserts the cross-chip grad psum.
+
+    compute_dtype=jnp.bfloat16 is the TPU analogue of the reference's
+    optional fp16 autocast + GradScaler (ref ddsp_train.py:153-155,227-253):
+    forwards/backwards run in bf16 on the MXU while master parameters,
+    gradients and optimizer state stay fp32. bf16 keeps the fp32 exponent
+    range, so no loss scaling is needed. Loss reductions accumulate in fp32."""
+
+    def cast(tree):
+        if compute_dtype is None:
+            return tree
+        return jax.tree.map(
+            lambda x: x.astype(compute_dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) else x,
+            tree,
+        )
+
+    def f32_mean_abs(a, b):
+        return jnp.mean(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
 
     def d_loss_fn(d_params, y, y_hat):
-        mpd_p, msd_p = d_params
+        mpd_p, msd_p = cast(d_params)
         y_df_r, y_df_g, _, _ = mpd_apply(mpd_p, y, y_hat)
         loss_f, _, _ = discriminator_loss(y_df_r, y_df_g)
         y_ds_r, y_ds_g, _, _, msd_p2 = msd_apply(msd_p, y, y_hat, update_sn=True)
         loss_s, _, _ = discriminator_loss(y_ds_r, y_ds_g)
-        return loss_f + loss_s, msd_p2
+        return (loss_f + loss_s).astype(jnp.float32), msd_p2
 
     def g_loss_fn(g_params, d_params, batch, y):
-        mpd_p, msd_p = d_params
-        y_hat = _generator_forward(g_params, h, family, batch)
-        y_hat_mel = _mel(h, y_hat[:, 0, :])
-        loss_mel = jnp.mean(jnp.abs(batch["mel_loss"] - y_hat_mel)) * MEL_LOSS_WEIGHT
+        mpd_p, msd_p = cast(d_params)
+        y_hat = _generator_forward(cast(g_params), h, family, batch)
+        y_hat_mel = _mel(h, y_hat[:, 0, :].astype(jnp.float32))
+        loss_mel = f32_mean_abs(batch["mel_loss"], y_hat_mel) * MEL_LOSS_WEIGHT
         _, y_df_g, fmap_f_r, fmap_f_g = mpd_apply(mpd_p, y, y_hat)
         _, y_ds_g, fmap_s_r, fmap_s_g, _ = msd_apply(msd_p, y, y_hat, update_sn=False)
         loss_fm = feature_loss(fmap_f_r, fmap_f_g) + feature_loss(fmap_s_r, fmap_s_g)
         loss_gen_f, _ = generator_loss(y_df_g)
         loss_gen_s, _ = generator_loss(y_ds_g)
-        total = loss_gen_f + loss_gen_s + loss_fm + loss_mel
+        total = (loss_gen_f + loss_gen_s + loss_fm).astype(jnp.float32) + loss_mel
         return total, (loss_mel, y_hat_mel)
 
     @jax.jit
     def train_step(state: TrainState, batch):
+        batch = dict(batch)
+        mel_loss_f32 = batch["mel_loss"]
+        batch = cast(batch)
+        batch["mel_loss"] = mel_loss_f32  # loss target stays fp32
         y = batch["audio"][:, None, :]                       # (B, 1, T)
 
         # ---- D step on detached generator output (ref :211-233)
-        y_hat = jax.lax.stop_gradient(_generator_forward(state.g_params, h, family, batch))
+        y_hat = jax.lax.stop_gradient(
+            _generator_forward(cast(state.g_params), h, family, batch))
         (d_total, msd_new), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             (state.mpd_params, state.msd_params), y, y_hat
         )
@@ -189,3 +214,29 @@ def eval_step(g_params: Params, h: HiFiGANConfig, family: ModelFamily, batch):
     # ref :305-311) — compare the overlap
     t = min(mel.shape[-1], y_hat_mel.shape[-1])
     return jnp.mean(jnp.abs(mel[..., :t] - y_hat_mel[..., :t])), y_hat
+
+
+VALID_BUCKET_FRAMES = 128  # ~2.5 s granularity at hop 320
+
+
+def eval_bucket(n_frames: int, bucket: int = VALID_BUCKET_FRAMES) -> int:
+    return max(bucket, ((n_frames + bucket - 1) // bucket) * bucket)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "family"))
+def eval_step_padded(g_params: Params, h: HiFiGANConfig, family: ModelFamily,
+                     batch, true_mel_frames: jax.Array):
+    """eval_step on a bucket-padded utterance: one compilation per length
+    BUCKET instead of one per utterance length (the per-utterance recompiles
+    cost minutes on real validation sets). Inputs are zero-padded to the
+    bucket; true_mel_frames is a TRACED scalar, so the mel error is masked —
+    not sliced — to the true frames. Returns (mel_err, y_hat) with y_hat
+    covering the full padded length; slice the audio on the host."""
+    y_hat = _generator_forward(g_params, h, family, batch)
+    y_hat_mel = _mel(h, y_hat[:, 0, :])
+    mel = batch["mel_loss"]
+    t = min(mel.shape[-1], y_hat_mel.shape[-1])
+    mask = (jnp.arange(t) < true_mel_frames).astype(mel.dtype)
+    diff = jnp.abs(mel[..., :t] - y_hat_mel[..., :t]) * mask
+    denom = jnp.maximum(jnp.sum(mask), 1.0) * mel.shape[0] * mel.shape[1]
+    return jnp.sum(diff) / denom, y_hat

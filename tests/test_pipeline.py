@@ -251,3 +251,36 @@ def test_full_conversion_sharded_writes_wav(tiny_world, tmp_path):
 
     y, sr = load_audio(out)
     assert sr == 16000 and np.max(np.abs(y)) <= 1.0 and np.max(np.abs(y)) > 1e-6
+
+
+def test_convert_pair_fast_matches_default(tiny_world, tmp_path):
+    """The device-resident serving path (convert_pair(fast=True)) produces
+    the same waveform as the host-pool path for the exact matcher on a
+    single-utterance pair (same selections, same vocoder inputs; the only
+    difference is where arrays live and which f0 extractor runs — pin f0 via
+    sidecars so that is equal too)."""
+    root, src_dir, tgt_dir, cfg, params, w = tiny_world
+    from knnsvc_tpu.config import ModelFamily
+    from knnsvc_tpu.dsp.f0 import get_f0, save_f0_sidecar
+    from knnsvc_tpu.hub import KnnSvc
+    from knnsvc_tpu.io.audio import load_audio, to_mono
+    from knnsvc_tpu.models.hifigan import init_generator_params
+
+    src, ref = src_dir / "utt1.wav", tgt_dir / "ref1.wav"
+    for p in (src, ref):  # sidecars make both paths use identical f0
+        x, sr = load_audio(p)
+        save_f0_sidecar(str(p), get_f0(to_mono(x)[0], sr, method="yin"))
+
+    h = HiFiGANConfig.from_dict(SMALL_HIFIGAN)
+    gen = init_generator_params(jax.random.PRNGKey(1), h, ModelFamily.MIX)
+    knn = KnnSvc(params, cfg, gen, h, ckpt_type="mix")
+    knn.weighting = w
+
+    out_a = knn.convert_pair(str(src), str(ref),
+                             output_path=str(tmp_path / "a.wav"))
+    out_b = knn.convert_pair(str(src), str(ref), fast=True,
+                             output_path=str(tmp_path / "b.wav"))
+    ya, _ = load_audio(out_a)
+    yb, _ = load_audio(out_b)
+    assert ya.shape == yb.shape
+    np.testing.assert_allclose(ya, yb, atol=2e-5)

@@ -114,3 +114,94 @@ def test_train_loop_end_to_end(prematched_world, tmp_path):
         resume_from=str(ckpt_dir),
     )
     assert int(state2.steps) > int(do["steps"])
+
+
+def test_validation_artifacts_written(prematched_world, tmp_path):
+    """Validation writes generated audio + mel artifacts (the reference's
+    tensorboard audio/figure logging, ref ddsp_train.py:320-336)."""
+    from knnsvc_tpu.train.loop import train
+
+    root = prematched_world
+    h = HiFiGANConfig.from_dict(TINY_H)
+    ckpt_dir = tmp_path / "ckpts_art"
+    train(
+        h,
+        audio_root_train=str(root / "train"),
+        feat_root_train=str(root / "cached_train"),
+        audio_root_valid=str(root / "valid"),
+        feat_root_valid=str(root / "cached_valid"),
+        checkpoint_path=str(ckpt_dir),
+        training_epochs=1,
+        validation_interval=1,
+        summary_interval=100,
+        stdout_interval=100,
+        with_harm=True,
+        max_steps=1,
+        max_val_items=1,
+        val_artifacts=1,
+    )
+    wavs = glob.glob(str(ckpt_dir / "logs" / "val_*_0.wav"))
+    mels = glob.glob(str(ckpt_dir / "logs" / "val_*_0_mel.npy"))
+    assert wavs and mels
+    mel = np.load(mels[0])
+    assert mel.ndim == 2 and np.isfinite(mel).all()
+
+
+def test_bf16_train_step_and_orbax_backend(prematched_world, tmp_path):
+    """compute_dtype='bfloat16' (the reference's AMP analogue) keeps master
+    params fp32 and losses finite; checkpoint_backend='orbax' stores and
+    restores the full TrainState."""
+    pytest.importorskip("orbax.checkpoint")
+    from knnsvc_tpu.train.loop import train
+
+    root = prematched_world
+    h = HiFiGANConfig.from_dict(TINY_H)
+    ckpt_dir = tmp_path / "ckpts_bf16"
+    state = train(
+        h,
+        audio_root_train=str(root / "train"),
+        feat_root_train=str(root / "cached_train"),
+        audio_root_valid=str(root / "valid"),
+        feat_root_valid=str(root / "cached_valid"),
+        checkpoint_path=str(ckpt_dir),
+        training_epochs=2,
+        validation_interval=1,
+        summary_interval=1,
+        stdout_interval=100,
+        with_harm=True,
+        max_steps=1,
+        max_val_items=1,
+        val_artifacts=0,
+        compute_dtype="bfloat16",
+        checkpoint_backend="orbax",
+    )
+    # master params stayed fp32 through the bf16 compute path
+    leaves = jax.tree.leaves(state.g_params)
+    assert all(l.dtype == np.float32 for l in leaves)
+    log_lines = open(ckpt_dir / "logs" / "train_log.jsonl").read().strip().split("\n")
+    losses = [json.loads(l) for l in log_lines if "loss_gen_total" in l]
+    assert losses and all(np.isfinite(s["loss_gen_total"]) for s in losses)
+
+    # orbax best-val checkpoint exists and resumes
+    import os
+
+    assert os.path.isdir(ckpt_dir / "orbax")
+    state2 = train(
+        h,
+        audio_root_train=str(root / "train"),
+        feat_root_train=str(root / "cached_train"),
+        audio_root_valid=str(root / "valid"),
+        feat_root_valid=str(root / "cached_valid"),
+        checkpoint_path=str(tmp_path / "ckpts_bf16_resume"),
+        training_epochs=3,
+        validation_interval=1000,
+        summary_interval=1000,
+        stdout_interval=1000,
+        with_harm=True,
+        max_steps=int(state.steps) + 1,
+        max_val_items=1,
+        val_artifacts=0,
+        checkpoint_backend="orbax",
+        resume_from=str(ckpt_dir),
+    )
+    assert int(state2.steps) > 0

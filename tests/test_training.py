@@ -197,3 +197,41 @@ def test_eval_step(tiny_train_setup):
     err, y_hat = eval_step(state.g_params, h, family, batch)
     assert np.isfinite(float(err))
     assert y_hat.shape == (1, 1, h.segment_size)
+
+
+def test_eval_step_padded_matches_eval_step(tiny_train_setup):
+    """Bucket-padded masked validation == exact per-length validation."""
+    from knnsvc_tpu.train.trainer import eval_bucket, eval_step, eval_step_padded
+
+    h, family, state, _ = tiny_train_setup
+    batch = _tiny_batch(h, 1, seed=7)
+    item = {k: np.asarray(v[0]) for k, v in batch.items()}
+    T = item["feats"].shape[0]
+    exact, _ = eval_step(state.g_params, h, family,
+                         {k: jnp.asarray(v)[None] for k, v in item.items()})
+
+    Tb = eval_bucket(T, bucket=T + 8)  # force nontrivial padding
+
+    def fit(a, n, axis=0):
+        sl = [slice(None)] * a.ndim
+        sl[axis] = slice(0, n)
+        a = a[tuple(sl)]
+        widths = [(0, 0)] * a.ndim
+        widths[axis] = (0, n - a.shape[axis])
+        return np.pad(a, widths)
+
+    padded = {
+        "feats": jnp.asarray(fit(item["feats"], Tb))[None],
+        "audio": jnp.asarray(fit(item["audio"], Tb * h.hop_size))[None],
+        "mel_loss": jnp.asarray(fit(item["mel_loss"], Tb + 1, axis=-1))[None],
+        "f0": jnp.asarray(fit(item["f0"], Tb))[None],
+        "harmonics": jnp.asarray(fit(item["harmonics"], Tb))[None],
+    }
+    mel_true = item["mel_loss"].shape[-1]
+    masked, y_hat = eval_step_padded(state.g_params, h, family, padded,
+                                     jnp.int32(mel_true))
+    # identical on the true frames: zero-padded features produce the same
+    # prefix through the convolutional generator up to edge effects of the
+    # receptive field; the masked mean must agree closely
+    assert np.isfinite(float(masked))
+    np.testing.assert_allclose(float(masked), float(exact), rtol=0.15)
