@@ -155,3 +155,30 @@ def test_compare_score_csvs(tmp_path):
     out = compare_score_csvs(str(a), str(b), k=2)
     assert len(out["best"]) == 2 and len(out["worst"]) == 2
     assert out["worst"][0][1] < out["best"][-1][1]
+
+
+def test_import_pinned_data_splits(tmp_path):
+    """The paper's pinned split assets install + validate from an upstream
+    checkout (ref data_splits/: 15.6k/14k pinned speaker-sim pairs, intelli
+    subsets, LibriSpeech path lists, hifigan train/valid splits); the
+    importer checks schema + exact row counts and pins SHA-256 provenance."""
+    import json
+    import sys
+
+    sys.path.insert(0, "tools")
+    try:
+        from import_data_splits import import_splits
+    finally:
+        sys.path.pop(0)
+
+    manifest = import_splits("/root/reference/data_splits", tmp_path / "ds", strict=True)
+    assert manifest["speaker-sim-test-clean.csv"]["rows"] == 15601
+    assert manifest["OpenSinger_test_to_nus-smc-corpus_48.txt"]["rows"] == 14077
+    m = json.loads((tmp_path / "ds" / "MANIFEST.json").read_text())
+    assert not m["problems"]
+    # the installed pairs CSV feeds the speaker-sim harness unchanged
+    import pandas as pd
+
+    pairs = pd.read_csv(tmp_path / "ds" / "speaker-sim-test-clean.csv")
+    assert set(pairs.columns) == {"src_speaker", "tgt_speaker", "x_path", "y_path", "label"}
+    assert set(pairs.label.unique()) == {0, 1}
