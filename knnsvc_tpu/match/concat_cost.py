@@ -97,5 +97,75 @@ def knn_with_concat_cost(
         baselines,
         src_log_f0[1:],
     )
-    _, rest = jax.lax.scan(body, init, xs)
+    # unroll amortizes the device loop-control overhead; the recurrence
+    # itself (frame t needs frame t-1's picks) is unchanged
+    _, rest = jax.lax.scan(body, init, xs, unroll=8)
     return jnp.concatenate([target_feature_indices[:1], rest], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("concat_weight",))
+def knn_with_concat_cost_pair(
+    idx_unpitched: jax.Array,   # (T, k) int32 — top-k of the raw kNN
+    idx_pitched: jax.Array,     # (T, k) int32 — f0-prioritized selection
+    src_elements: jax.Array,    # (T, D)
+    tgt_elements: jax.Array,    # (P, D)
+    shifted_src_f0: jax.Array,  # (T,) Hz
+    tgt_f0: jax.Array,          # (P,) Hz
+    concat_weight: float = 0.2,
+) -> tuple[jax.Array, jax.Array]:
+    """Both concat-cost reselections of the post_opt pipeline in ONE scan.
+
+    The unpitched pass (WavLM features) and the pitched pass (harmonic
+    selection) are independent — the reference just runs them sequentially
+    (ref ddsp_prematch_dataset.py:1292-1295 then :1409-1414). The frame loop
+    is the pipeline's only serial dependency and its cost is per-step
+    overhead, not FLOPs, so lane-stacking the two passes halves wall time.
+    Bit-identical to two `knn_with_concat_cost` calls (tested)."""
+    T, k = idx_unpitched.shape
+    P = tgt_elements.shape[0]
+
+    src_log_f0 = jnp.log2(shifted_src_f0 + 1e-5)
+    tgt_log_f0 = jnp.log2(tgt_f0 + 1e-5)
+
+    src_n = src_elements / jnp.linalg.norm(src_elements, axis=-1, keepdims=True)
+    baselines = 2.0 * (1.0 - jnp.sum(src_n[:-1] * src_n[1:], axis=-1))  # (T-1,)
+
+    # lane 0 = unpitched, lane 1 = pitched (sticky weight carries per lane)
+    def body(carry, inputs):
+        prev_idx, p_weight = carry                     # (2, k), scalar
+        own_cand, src_vec, baseline, src_lf0 = inputs  # (2, k), (D,), (), ()
+
+        extra = jnp.minimum(prev_idx + 1, P - 1)
+        cand = jnp.concatenate([own_cand, extra], axis=1)       # (2, 2k)
+        cand_feats = tgt_elements[cand]                          # (2, 2k, D)
+
+        cn = jnp.linalg.norm(cand_feats, axis=-1)                # (2, 2k)
+        sv = src_vec / jnp.linalg.norm(src_vec)
+        matching_cost = 1.0 - (cand_feats @ sv) / cn             # (2, 2k)
+        prev_feats = tgt_elements[prev_idx]                      # (2, k, D)
+        pn = jnp.linalg.norm(prev_feats, axis=-1)                # (2, k)
+        cc = 1.0 - jnp.einsum("lkd,lcd->lkc", prev_feats, cand_feats) / (
+            pn[:, :, None] * cn[:, None, :])                     # (2, k, 2k)
+
+        # lane 0: unpitched sharpening transform
+        cc_u = jnp.where(cc[0] > baseline, 1.5 * cc[0] - baseline, cc[0])
+        total_u = concat_weight * torch_median(cc_u, axis=0) + matching_cost[0]
+
+        # lane 1: pitched zeroing + sticky weight + |dlog2 f0|
+        low = baseline < 0.08
+        cc_p = jnp.where(low & (cc[1] < 5.0 * baseline), 0.0, cc[1])
+        p_weight = jnp.where(low, p_weight, 0.0)
+        pitch_cost = jnp.abs(tgt_log_f0[cand[1]] - src_lf0)
+        total_p = p_weight * torch_median(cc_p, axis=0) + matching_cost[1] + pitch_cost
+
+        total = jnp.stack([total_u, total_p])                    # (2, 2k)
+        _, pick = jax.lax.top_k(-total, k)                       # (2, k)
+        new_idx = jnp.take_along_axis(cand, pick, axis=1)
+        return (new_idx, p_weight), new_idx
+
+    stacked = jnp.stack([idx_unpitched, idx_pitched], axis=1)    # (T, 2, k)
+    init = (stacked[0], jnp.float32(concat_weight))
+    xs = (stacked[1:], src_elements[1:], baselines, src_log_f0[1:])
+    _, rest = jax.lax.scan(body, init, xs, unroll=8)
+    out = jnp.concatenate([stacked[:1], rest], axis=0)           # (T, 2, k)
+    return out[:, 0], out[:, 1]

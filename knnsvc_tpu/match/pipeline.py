@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from knnsvc_tpu.config import PostOpt, uses_harmonics
-from knnsvc_tpu.match.concat_cost import knn_with_concat_cost
+from knnsvc_tpu.match.concat_cost import knn_with_concat_cost, knn_with_concat_cost_pair
 from knnsvc_tpu.match.f0_logic import shift_f0_to_target_register, sort_by_f0_compatibility
 from knnsvc_tpu.match.knn import knn_topk
 from knnsvc_tpu.match.quantized_pool import QuantizedPool, knn_topk_quantized, quantize_pool
@@ -63,6 +63,50 @@ def _match_core(q, matching, synth, pool_f0, harmonics, qf0,
         pitched = sort_by_f0_compatibility(shifted, pool_f0, nearest_nbrs)[:, :topk]
         harm = jnp.mean(harmonics[pitched], axis=1)
     return out, shifted, harm
+
+@functools.partial(jax.jit, static_argnames=("topk", "approx", "use_harmonics",
+                                             "concat_weight", "opt_enabled"))
+def _match_core_post_opt(q, matching, synth, pool_f0, harmonics, qf0,
+                         topk: int, approx: bool, use_harmonics: bool,
+                         concat_weight: float, opt_enabled: bool):
+    """The whole post_opt match as ONE compiled program: kNN + register shift
+    + f0-priority re-rank + both concat-cost reselections (lane-stacked into
+    a single scan — they are independent) + both smoothness optimizations +
+    the weighted gathers. Same selection semantics as the step-by-step path
+    in match_utterance (tested equal); one dispatch instead of ~8."""
+    nearest_nbrs, _ = knn_topk(q, matching, k=KNN_CANDIDATES, approx=approx)
+    shifted = shift_f0_to_target_register(qf0, pool_f0)
+
+    target_idx = nearest_nbrs[:, :topk]
+    pitched_idx = None
+    if use_harmonics:
+        pitched_idx = sort_by_f0_compatibility(shifted, pool_f0, nearest_nbrs)[:, :topk]
+
+    if concat_weight != -1.0:
+        if use_harmonics:
+            target_idx, pitched_idx = knn_with_concat_cost_pair(
+                target_idx, pitched_idx, q, matching, shifted, pool_f0,
+                concat_weight=concat_weight)
+        else:
+            target_idx = knn_with_concat_cost(
+                target_idx, q, matching, concat_weight=concat_weight)
+
+    if opt_enabled:
+        w = optimize_smoothness_weights(target_idx, synth, scale=WAVLM_LOSS_SCALE)
+        out = jnp.sum(synth[target_idx] * w[..., None], axis=1)
+    else:
+        out = jnp.mean(synth[target_idx], axis=1)
+
+    harm = None
+    if use_harmonics:
+        if opt_enabled:
+            hw = optimize_smoothness_weights(pitched_idx, harmonics,
+                                             scale=HARMONICS_LOSS_SCALE)
+            harm = jnp.sum(harmonics[pitched_idx] * hw[..., None], axis=1)
+        else:
+            harm = jnp.mean(harmonics[pitched_idx], axis=1)
+    return out, shifted, harm
+
 
 # Per-ref-pool device-side preparation memo: the SpeakerPool concat
 # properties re-run np.concatenate on every access and quantize_pool is an
@@ -150,15 +194,23 @@ def match_utterance(
 
     q = jnp.asarray(query_seq)
 
-    # fused fast path: the whole no_post_opt match is one compiled dispatch
-    if (not post_opt.enabled and post_opt.concat_weight == -1.0
-            and matcher in ("exact", "approx") and matching_list is not None):
+    # fused fast path: the whole match — no_post_opt AND post_opt — is one
+    # compiled dispatch for the exact/approx matchers
+    if matcher in ("exact", "approx") and matching_list is not None:
         use_harm = uses_harmonics(ckpt_type)
-        out, shifted, harm = _match_core(
-            q, matching_list, synth_list, matching_f0,
-            harmonics_list if use_harm else synth_list[:, :1],
-            jnp.asarray(query_f0), topk=topk, approx=(matcher == "approx"),
-            use_harmonics=use_harm)
+        if not post_opt.enabled and post_opt.concat_weight == -1.0:
+            out, shifted, harm = _match_core(
+                q, matching_list, synth_list, matching_f0,
+                harmonics_list if use_harm else synth_list[:, :1],
+                jnp.asarray(query_f0), topk=topk, approx=(matcher == "approx"),
+                use_harmonics=use_harm)
+        else:
+            out, shifted, harm = _match_core_post_opt(
+                q, matching_list, synth_list, matching_f0,
+                harmonics_list if use_harm else synth_list[:, :1],
+                jnp.asarray(query_f0), topk=topk, approx=(matcher == "approx"),
+                use_harmonics=use_harm, concat_weight=post_opt.concat_weight,
+                opt_enabled=post_opt.enabled)
         if not as_numpy:
             return ConversionFeatures(out, shifted, harm)
         return ConversionFeatures(

@@ -62,7 +62,7 @@ def generator_apply(params: Params, h: HiFiGANConfig, family: ModelFamily,
     if family != ModelFamily.ORIGINAL:
         x = jnp.einsum("btd,dh->bth", feats, params["lin_pre"]["w"],
                        preferred_element_type=jnp.float32, precision=get_precision())
-        x = x + params["lin_pre"]["b"]
+        x = (x + params["lin_pre"]["b"]).astype(feats.dtype)   # fp32 accum, compute-dtype store
         x = jnp.swapaxes(x, 1, 2)                              # (B, hifi_dim, T)
     else:
         # HiFi-GAN v1 takes features straight into conv_pre (no lin_pre)

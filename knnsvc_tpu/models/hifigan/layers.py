@@ -32,21 +32,25 @@ def conv_weight(p: Params) -> jax.Array:
 
 def conv1d(x: jax.Array, p: Params, stride: int = 1, padding: int = 0,
            dilation: int = 1, groups: int = 1) -> jax.Array:
-    """x (B, C, T) -> (B, C', T')."""
+    """x (B, C, T) -> (B, C', T'). Computes in the weight's dtype (the
+    mixed-precision compute dtype) with fp32 accumulation, returns the
+    weight's dtype — a chain of no-ops on the pure-fp32 path."""
     w = conv_weight(p)
     y = jax.lax.conv_general_dilated(
-        x, w,
+        x.astype(w.dtype), w,
         window_strides=(stride,),
         padding=[(padding, padding)],
         rhs_dilation=(dilation,),
         dimension_numbers=("NCH", "OIH", "NCH"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        # under bf16 the MXU still accumulates fp32 internally; an explicit
+        # fp32 preferred_element_type breaks the conv VJP on mixed dtypes
+        preferred_element_type=w.dtype,
         precision=get_precision(),
     )
     if "b" in p:
-        y = y + p["b"][None, :, None]
-    return y
+        y = y + p["b"][None, :, None].astype(y.dtype)
+    return y.astype(w.dtype)
 
 
 def conv_transpose1d(x: jax.Array, p: Params, stride: int, padding: int) -> jax.Array:
@@ -67,7 +71,7 @@ def conv_transpose1d(x: jax.Array, p: Params, stride: int, padding: int) -> jax.
     w_pad = jnp.pad(w, ((0, 0), (0, 0), (0, k_pad - k)))
 
     # (B, T, in) x (in, out, taps, s) -> (B, taps, out, T, s)
-    xt = jnp.swapaxes(x, 1, 2)
+    xt = jnp.swapaxes(x, 1, 2).astype(w.dtype)
     wr = w_pad.reshape(C_in, C_out, n_taps, stride)
     y = jnp.einsum("bti,ioms->bmots", xt, wr,
                    preferred_element_type=jnp.float32, precision=get_precision())
@@ -85,8 +89,8 @@ def conv_transpose1d(x: jax.Array, p: Params, stride: int, padding: int) -> jax.
     end = (T - 1) * stride + k - padding
     out = out[:, :, padding:end]
     if "b" in p:
-        out = out + p["b"][None, :, None]
-    return out
+        out = out + p["b"][None, :, None].astype(out.dtype)
+    return out.astype(w.dtype)
 
 
 def conv2d(x: jax.Array, p: Params, stride: tuple[int, int] = (1, 1),
@@ -94,16 +98,16 @@ def conv2d(x: jax.Array, p: Params, stride: tuple[int, int] = (1, 1),
     """x (B, C, H, W), torch Conv2d layout (out, in, kh, kw)."""
     w = conv_weight(p)
     y = jax.lax.conv_general_dilated(
-        x, w,
+        x.astype(w.dtype), w,
         window_strides=stride,
         padding=[(padding[0], padding[0]), (padding[1], padding[1])],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=w.dtype,
         precision=get_precision(),
     )
     if "b" in p:
-        y = y + p["b"][None, :, None, None]
-    return y
+        y = y + p["b"][None, :, None, None].astype(y.dtype)
+    return y.astype(w.dtype)
 
 
 def leaky_relu(x: jax.Array, slope: float = LRELU_SLOPE) -> jax.Array:

@@ -41,6 +41,7 @@
 
 #include <algorithm>
 #include <cmath>
+#include <cstdio>
 #include <cstring>
 #include <cstdlib>
 #include <vector>
@@ -130,10 +131,7 @@ void channel_raw_candidates(const SignalSpectrum& spec, double boundary,
   fir_filter(&band.y, bandpass_kernel(boundary, band.rate));
 
   Events e[4];
-  e[0] = interval_events(band.y, band.rate, true);
-  e[1] = interval_events(band.y, band.rate, false);
-  e[2] = extremum_events(band.y, band.rate, true);
-  e[3] = extremum_events(band.y, band.rate, false);
+  all_interval_events(band.y, band.rate, e);
 
   std::vector<double> f[4];
   for (int k = 0; k < 4; ++k) interp_to_frames(e[k], frame_times, &f[k]);
@@ -340,6 +338,17 @@ void harvest_body(const double* x_in, int n_in, int fs_in,
   }
 #endif
 
+  // Diagnostic: HARVEST_DUMP_RAW=<path> writes the official candidate sets
+  // before refinement/gating (generation-vs-selection attribution).
+  if (const char* dump = std::getenv("HARVEST_DUMP_RAW")) {
+    if (FILE* fh = std::fopen(dump, "w")) {
+      for (int i = 0; i < n_frames; ++i)
+        for (const Cand& c : cands[i])
+          std::fprintf(fh, "%d %.4f\n", i, c.f0);
+      std::fclose(fh);
+    }
+  }
+
   // ---- stage 4: refinement (before overlap, so each candidate is refined
   // exactly once), amplitude weighting, then neighbour sharing ----
   // Each candidate carries consistency (refine score) AND harmonic-stack
@@ -446,6 +455,17 @@ void harvest_body(const double* x_in, int n_in, int fs_in,
     fc.resize(kept);
   }
 
+  // Diagnostic dump (tuning harness): HARVEST_DUMP=<path> writes the final
+  // per-frame candidate sets the DP selects from, one line per candidate.
+  if (const char* dump = std::getenv("HARVEST_DUMP")) {
+    if (FILE* fh = std::fopen(dump, "w")) {
+      for (int i = 0; i < n_frames; ++i)
+        for (const Cand& c : overlapped[i])
+          std::fprintf(fh, "%d %.4f %.6f\n", i, c.f0, c.score);
+      std::fclose(fh);
+    }
+  }
+
   const double kLambda = tp.lambda;      // cost per octave of jump per 1-ms step
   const double kToggle = tp.toggle;      // voiced <-> unvoiced switch
   const double kUnvoiced = tp.unvoiced;  // staying unvoiced, per frame
@@ -519,7 +539,8 @@ void harvest_body(const double* x_in, int n_in, int fs_in,
   // (the role of the original algorithm's step-3/4 extension)
   extend_sections(&f0, overlapped, tp.extend_tol);
   HDBG("extend: %d voiced\n", count_voiced(f0));
-  smooth_contour(&f0, 1000.0 / kInternalPeriodMs);
+  if (!std::getenv("HARVEST_NO_SMOOTH"))
+    smooth_contour(&f0, 1000.0 / kInternalPeriodMs);
 
   // ---- stage 6: sample the requested frame grid ----
   const double step = frame_period_ms / kInternalPeriodMs;

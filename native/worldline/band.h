@@ -234,6 +234,39 @@ inline Events extremum_events(const std::vector<double>& y, double rate,
   return interval_events(dy, rate, /*rising=*/!peaks);
 }
 
+// All four event families in ONE pass over the band signal (same results as
+// interval_events x2 + extremum_events x2, which re-scan y four times — the
+// scans are memory-bound, so fusing them is ~4x cheaper on long signals).
+// out[0]=rising, out[1]=falling, out[2]=peaks, out[3]=dips.
+inline void all_interval_events(const std::vector<double>& y, double rate,
+                                Events out[4]) {
+  for (int k = 0; k < 4; ++k) out[k] = Events{};
+  const int n = static_cast<int>(y.size());
+  if (n < 3) return;
+  double last_cross[4] = {-1.0, -1.0, -1.0, -1.0};
+  auto emit = [&](int k, double t) {
+    if (last_cross[k] >= 0.0) {
+      const double interval = t - last_cross[k];
+      if (interval > 0.0) {
+        out[k].times.push_back(0.5 * (last_cross[k] + t));
+        out[k].f0.push_back(1.0 / interval);
+      }
+    }
+    last_cross[k] = t;
+  };
+  for (int i = 0; i < n - 1; ++i) {
+    const double a = y[i], b = y[i + 1];
+    if (a < 0.0 && b >= 0.0) emit(0, (i + a / (a - b)) / rate);
+    if (a > 0.0 && b <= 0.0) emit(1, (i + a / (a - b)) / rate);
+    if (i < n - 2) {
+      const double da = b - a, db = y[i + 2] - b;
+      // extremum_events(peaks) == interval_events(dy, rising=false)
+      if (da > 0.0 && db <= 0.0) emit(2, (i + da / (da - db)) / rate);
+      if (da < 0.0 && db >= 0.0) emit(3, (i + da / (da - db)) / rate);
+    }
+  }
+}
+
 // Linear interpolation of (times, values) onto frame times; out-of-range -> 0.
 inline void interp_to_frames(const Events& ev,
                              const std::vector<double>& frame_times,

@@ -224,3 +224,93 @@ def test_zero_norm_rows_finite():
     w = np.abs(rng.standard_normal((9, 32))).astype(np.float32)
     dw = np.asarray(weighted_cosine_distance(jnp.asarray(q), jnp.asarray(p), jnp.asarray(w)))
     assert np.all(np.isfinite(dw))
+
+
+def test_concat_cost_pair_equals_two_singles():
+    """knn_with_concat_cost_pair (one lane-stacked scan) is bit-identical to
+    running the unpitched and pitched reselections separately."""
+    from knnsvc_tpu.match.concat_cost import knn_with_concat_cost, knn_with_concat_cost_pair
+
+    rng = np.random.default_rng(3)
+    T, P, D, k = 40, 60, 16, 4
+    src = rng.standard_normal((T, D)).astype(np.float32)
+    # smooth segments so some frames land under the 0.08 baseline
+    src[10:20] = src[10] + 0.01 * rng.standard_normal((10, D)).astype(np.float32)
+    tgt = rng.standard_normal((P, D)).astype(np.float32)
+    idx_u = rng.integers(0, P, (T, k)).astype(np.int32)
+    idx_p = rng.integers(0, P, (T, k)).astype(np.int32)
+    sf0 = (80 + 300 * rng.random(T)).astype(np.float32)
+    tf0 = (80 + 300 * rng.random(P)).astype(np.float32)
+
+    a_u = np.asarray(knn_with_concat_cost(
+        jnp.asarray(idx_u), jnp.asarray(src), jnp.asarray(tgt), concat_weight=0.2))
+    a_p = np.asarray(knn_with_concat_cost(
+        jnp.asarray(idx_p), jnp.asarray(src), jnp.asarray(tgt),
+        jnp.asarray(sf0), jnp.asarray(tf0), concat_weight=0.2))
+    b_u, b_p = knn_with_concat_cost_pair(
+        jnp.asarray(idx_u), jnp.asarray(idx_p), jnp.asarray(src),
+        jnp.asarray(tgt), jnp.asarray(sf0), jnp.asarray(tf0), concat_weight=0.2)
+    np.testing.assert_array_equal(a_u, np.asarray(b_u))
+    np.testing.assert_array_equal(a_p, np.asarray(b_p))
+
+
+def test_smoothness_unroll_invariant():
+    """Unrolled while_loop (frozen-when-done) == step-at-a-time loop."""
+    from knnsvc_tpu.match.smoothness import optimize_smoothness_weights
+
+    rng = np.random.default_rng(4)
+    T, P, D, k = 12, 30, 8, 4
+    idx = jnp.asarray(rng.integers(0, P, (T, k)).astype(np.int32))
+    pool = jnp.asarray(rng.standard_normal((P, D)).astype(np.float32))
+
+    w1, t1 = optimize_smoothness_weights(idx, pool, return_steps=True, unroll=1)
+    w8, t8 = optimize_smoothness_weights(idx, pool, return_steps=True, unroll=8)
+    w5, t5 = optimize_smoothness_weights(idx, pool, return_steps=True, unroll=5)
+    # identical bookkeeping -> identical step counts; weights agree up to
+    # XLA fusion reordering of the unrolled body
+    assert int(t1) == int(t8) == int(t5)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w8), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w5), atol=1e-4)
+
+
+def test_match_core_post_opt_equals_stepwise():
+    """The fused one-dispatch post_opt core == the step-by-step path (int8
+    branch disabled so match_utterance takes the eager route for comparison)."""
+    from knnsvc_tpu.config import PostOpt
+    from knnsvc_tpu.match import pipeline as pl
+
+    rng = np.random.default_rng(5)
+    Tq, P, D = 30, 50, 16
+    q = rng.standard_normal((Tq, D)).astype(np.float32)
+    pool = rng.standard_normal((P, D)).astype(np.float32)
+    qf0 = (100 + 200 * rng.random(Tq)).astype(np.float32)
+    pf0 = (100 + 200 * rng.random(P)).astype(np.float32)
+    harm = np.abs(rng.standard_normal((P, 49))).astype(np.float32) * 0.05
+
+    out, shifted, hm = pl._match_core_post_opt(
+        jnp.asarray(q), jnp.asarray(pool), jnp.asarray(pool), jnp.asarray(pf0),
+        jnp.asarray(harm), jnp.asarray(qf0), topk=4, approx=False,
+        use_harmonics=True, concat_weight=0.2, opt_enabled=True)
+
+    # step-by-step replication
+    from knnsvc_tpu.match.concat_cost import knn_with_concat_cost
+    from knnsvc_tpu.match.f0_logic import shift_f0_to_target_register, sort_by_f0_compatibility
+    from knnsvc_tpu.match.knn import knn_topk
+    from knnsvc_tpu.match.smoothness import (
+        HARMONICS_LOSS_SCALE, WAVLM_LOSS_SCALE, optimize_smoothness_weights)
+
+    nbrs, _ = knn_topk(jnp.asarray(q), jnp.asarray(pool), k=32, approx=False)
+    sh = shift_f0_to_target_register(jnp.asarray(qf0), jnp.asarray(pf0))
+    tidx = knn_with_concat_cost(nbrs[:, :4], jnp.asarray(q), jnp.asarray(pool),
+                                concat_weight=0.2)
+    pidx = sort_by_f0_compatibility(sh, jnp.asarray(pf0), nbrs)[:, :4]
+    pidx = knn_with_concat_cost(pidx, jnp.asarray(q), jnp.asarray(pool),
+                                sh, jnp.asarray(pf0), concat_weight=0.2)
+    w = optimize_smoothness_weights(tidx, jnp.asarray(pool), scale=WAVLM_LOSS_SCALE)
+    hw = optimize_smoothness_weights(pidx, jnp.asarray(harm), scale=HARMONICS_LOSS_SCALE)
+    exp_out = jnp.sum(jnp.asarray(pool)[tidx] * w[..., None], axis=1)
+    exp_hm = jnp.sum(jnp.asarray(harm)[pidx] * hw[..., None], axis=1)
+
+    np.testing.assert_array_equal(np.asarray(shifted), np.asarray(sh))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(exp_out), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hm), np.asarray(exp_hm), atol=1e-6)

@@ -105,15 +105,24 @@ def test_full_pipeline_parity(reference, torch, monkeypatch, ckpt_type, post_opt
 
     # ---- our side ----
     def our_stub_weights(idx, pool, scale=None, **kw):
-        return jnp.asarray(_stub_weights_np(np.asarray(idx)))
+        # jnp-traceable twin of _stub_weights_np (runs inside the fused jit)
+        import jax
+
+        return jax.nn.softmax((idx % 7).astype(jnp.float32) * 0.1, axis=1)
 
     monkeypatch.setattr(pl, "optimize_smoothness_weights", our_stub_weights)
-
-    ours = pl.match_at_inference_time(
-        "src", "ref/r.wav", None, None, None, None, topk=4,
-        prioritize_f0=True, ckpt_type=ckpt_type, post_opt=post_opt,
-        query_pool=as_speaker_pool(src), ref_pool=as_speaker_pool(ref),
-    )
+    # the fused post_opt core traces the (patched) global at trace time;
+    # drop any cached traces so the stub takes effect here and the stubbed
+    # trace does not leak into later tests
+    pl._match_core_post_opt.clear_cache()
+    try:
+        ours = pl.match_at_inference_time(
+            "src", "ref/r.wav", None, None, None, None, topk=4,
+            prioritize_f0=True, ckpt_type=ckpt_type, post_opt=post_opt,
+            query_pool=as_speaker_pool(src), ref_pool=as_speaker_pool(ref),
+        )
+    finally:
+        pl._match_core_post_opt.clear_cache()
 
     assert set(ours.keys()) == set(ref_feats.keys())
     for item in ours:
