@@ -84,9 +84,22 @@ def _match_core_post_opt(q, matching, synth, pool_f0, harmonics, qf0,
 
     if concat_weight != -1.0:
         if use_harmonics:
-            target_idx, pitched_idx = knn_with_concat_cost_pair(
-                target_idx, pitched_idx, q, matching, shifted, pool_f0,
-                concat_weight=concat_weight)
+            from knnsvc_tpu.ops.concat_scan import (
+                concat_cost_pair_pallas, pallas_concat_pair_ok)
+
+            T, D = q.shape
+            P = matching.shape[0]
+            if (os.environ.get("KNNSVC_PALLAS_CONCAT") == "1"
+                    and pallas_concat_pair_ok(T, P, D, topk)):
+                # opt-in experiment: measured at parity with the scan
+                # (selection-identical; see ops/concat_scan.py docstring)
+                target_idx, pitched_idx = concat_cost_pair_pallas(
+                    target_idx, pitched_idx, q, matching, shifted, pool_f0,
+                    concat_weight=concat_weight)
+            else:
+                target_idx, pitched_idx = knn_with_concat_cost_pair(
+                    target_idx, pitched_idx, q, matching, shifted, pool_f0,
+                    concat_weight=concat_weight)
         else:
             target_idx = knn_with_concat_cost(
                 target_idx, q, matching, concat_weight=concat_weight)

@@ -84,15 +84,18 @@ constexpr double kSmoothCutoffHz = 30.0;     // contour low-pass (1 kHz frame ra
 // default). Only read when the env var is set; the shipped defaults are the
 // values fitted against the reference's Harvest sidecars.
 struct TrackParams {
-  double score_floor = 1.0;   // refinement consistency gate
-  double lambda = 3.0;        // DP: cost per octave of jump per 1-ms step
-  double toggle = 1.4;        // DP: voiced <-> unvoiced switch
-  double unvoiced = 0.45;     // DP: staying unvoiced, per frame
-  double cand_base = 6.0;     // DP: local cost = base / (base + score)
-  double energy_knee = 0.12;  // absolute gate: knee * p90(stack amp)
-  double extend_tol = 0.15;   // section extension candidate tolerance
-  double snr_knee = 5.0;      // score *= snr / (snr + snr_knee)
-  double rel_gamma = 1.0;     // in-frame relative amp exponent (0 disables)
+  // DP economics re-fit offline against the pyworld sidecars with
+  // tools/tune_harvest_dp.py (candidate sets dumped once, stage 5 replayed):
+  // P .931/.857/w50 .859 (old) -> .940/.896/.871 on the sample pair.
+  double score_floor = 1.277; // refinement consistency gate
+  double lambda = 4.287;      // DP: cost per octave of jump per 1-ms step
+  double toggle = 1.436;      // DP: voiced <-> unvoiced switch
+  double unvoiced = 0.155;    // DP: staying unvoiced, per frame
+  double cand_base = 0.5;     // DP: local cost = base / (base + score)
+  double energy_knee = 0.13;  // absolute gate: knee * p90(stack amp)
+  double extend_tol = 0.189;  // section extension candidate tolerance
+  double snr_knee = 6.342;    // score *= snr / (snr + snr_knee)
+  double rel_gamma = 1.383;   // in-frame relative amp exponent (0 disables)
 };
 
 TrackParams track_params() {
