@@ -106,8 +106,19 @@ def optimize_smoothness_weights(
     counts; once early stopping sets `done` (or t reaches max_steps) the
     state is frozen through the remaining inner steps. Weights can differ
     from unroll=1 in the last float bits (XLA fuses the unrolled body
-    differently)."""
+    differently).
+
+    Under set_precision("fastest") the (3, T, k, D) surrounding tensor is
+    stored bf16: each Adam iteration re-reads it (fwd + bwd), and at
+    D=1024/T=1500 that 24.6 MB of HBM traffic dominates the loop. The loss
+    still accumulates fp32 (jnp promotion); the optimizer trajectory can
+    differ slightly, like the reference's own fp16-rounded training pools
+    (ref ddsp_prematch_dataset.py:1510). Parity mode (HIGHEST) stays fp32."""
+    from knnsvc_tpu.precision import get_precision
+
     surrounding = _gather_surrounding(indices, synth_set, amp_ratio)
+    if get_precision() is not jax.lax.Precision.HIGHEST:
+        surrounding = surrounding.astype(jnp.bfloat16)
     loss_and_grad = jax.value_and_grad(_loss_fn)
 
     w0 = jnp.zeros(indices.shape, dtype=jnp.float32)

@@ -34,10 +34,13 @@
 //   6. The 1 ms internal track is sampled at the requested frame period.
 //
 // Measured against the two shipped Harvest sidecars (tools/f0_accuracy.py,
-// full length): voicing precision .93 / recall .86, 86% of co-voiced frames
-// within 50 cents, median deviation 3.3 cents, ~5.6x realtime on one core.
-// Residual disagreement concentrates on fast pitch glides (>60 cents per
-// 20 ms frame) and near-silent reverb tails.
+// full length): voicing precision .953 / recall .891, 87% of co-voiced
+// frames within 50 cents, median deviation 3.4 cents, ~6-7x realtime on one
+// core. Tuning provenance: DP economics + refine/amp gates fit with
+// tools/tune_harvest_dp.py (offline stage-5 replay on dumped candidate
+// sets) then a binary-in-the-loop pass; refine-seeded section extension
+// recovers glide frames candidate generation misses. Residual disagreement
+// concentrates on fast pitch glides and near-silent reverb tails.
 
 #include <algorithm>
 #include <cmath>
@@ -88,12 +91,12 @@ struct TrackParams {
   // tools/tune_harvest_dp.py (candidate sets dumped once, stage 5 replayed):
   // P .931/.857/w50 .859 (old) -> .940/.896/.871 on the sample pair.
   double score_floor = 1.277; // refinement consistency gate
-  double lambda = 4.287;      // DP: cost per octave of jump per 1-ms step
-  double toggle = 1.436;      // DP: voiced <-> unvoiced switch
-  double unvoiced = 0.155;    // DP: staying unvoiced, per frame
-  double cand_base = 0.5;     // DP: local cost = base / (base + score)
+  double lambda = 6.729;      // DP: cost per octave of jump per 1-ms step
+  double toggle = 4.0;        // DP: voiced <-> unvoiced switch
+  double unvoiced = 0.262;    // DP: staying unvoiced, per frame
+  double cand_base = 0.766;   // DP: local cost = base / (base + score)
   double energy_knee = 0.13;  // absolute gate: knee * p90(stack amp)
-  double extend_tol = 0.189;  // section extension candidate tolerance
+  double extend_tol = 0.235;  // section extension candidate tolerance
   double snr_knee = 6.342;    // score *= snr / (snr + snr_knee)
   double rel_gamma = 1.383;   // in-frame relative amp exponent (0 disables)
 };
@@ -205,17 +208,40 @@ void fix_jumps_and_short_runs(std::vector<double>* f0p) {
 // Stage 5c: extend voiced sections through the candidate sets, forward then
 // backward, stopping at already-voiced frames (which merges sections whose
 // extensions meet).
+// Refine-seeded fallback: at extension frames where NO candidate continues
+// the contour (glides and low-amplitude stretches never generate one), ask
+// the instantaneous-frequency refiner directly, seeded with the
+// continuation value. Acceptance needs both proximity and a real harmonic-
+// consistency score, so extensions stop at genuine voicing ends.
+constexpr double kExtendRefineScore = 5.0;
+
 void extend_sections(std::vector<double>* f0p,
                      const std::vector<std::vector<Cand>>& cands,
-                     double tol = kExtendTolerance) {
+                     double tol,
+                     const double* x, int nx, int fs,
+                     const std::vector<double>& frame_times) {
   std::vector<double>& f0 = *f0p;
   const int n = static_cast<int>(f0.size());
-  auto best_match = [&](int frame, double v) -> double {
+  // refine budget per gap: glide gaps are short (tens of ms); an unbounded
+  // refine walk follows reverb tails into unvoiced territory
+  constexpr int kMaxRefineSteps = 25;
+  auto best_match = [&](int frame, double v, int* refine_budget) -> double {
     double best = 0.0, best_err = tol;
     for (const Cand& c : cands[frame]) {
       if (c.score <= 0.0) continue;
       const double err = std::fabs(c.f0 / v - 1.0);
       if (err < best_err) { best_err = err; best = c.f0; }
+    }
+    if (best == 0.0 && x != nullptr && *refine_budget > 0) {
+      const Refined r = refine_f0(x, nx, fs, frame_times[frame], v,
+                                  1.0, 0.45 * fs, kRefineHarmonics,
+                                  /*iterations=*/2, kRefineWindowPeriods,
+                                  /*subharmonic_check=*/true);
+      if (r.f0 > 0.0 && r.score >= kExtendRefineScore &&
+          std::fabs(r.f0 / v - 1.0) < tol) {
+        best = r.f0;
+        --*refine_budget;
+      }
     }
     return best;
   };
@@ -223,9 +249,10 @@ void extend_sections(std::vector<double>* f0p,
   for (int i = 1; i < n; ++i) {
     if (f0[i] != 0.0 || f0[i - 1] == 0.0) continue;
     double v = f0[i - 1];
+    int refine_budget = kMaxRefineSteps;
     for (int j = i, steps = 0; j < n && steps < kMaxExtend; ++j, ++steps) {
       if (f0[j] != 0.0) break;  // met the next section
-      const double m = best_match(j, v);
+      const double m = best_match(j, v, &refine_budget);
       if (m == 0.0) break;
       f0[j] = m;
       v = m;
@@ -235,9 +262,10 @@ void extend_sections(std::vector<double>* f0p,
   for (int i = n - 2; i >= 0; --i) {
     if (f0[i] != 0.0 || f0[i + 1] == 0.0) continue;
     double v = f0[i + 1];
+    int refine_budget = kMaxRefineSteps;
     for (int j = i, steps = 0; j >= 0 && steps < kMaxExtend; --j, ++steps) {
       if (f0[j] != 0.0) break;
-      const double m = best_match(j, v);
+      const double m = best_match(j, v, &refine_budget);
       if (m == 0.0) break;
       f0[j] = m;
       v = m;
@@ -540,7 +568,7 @@ void harvest_body(const double* x_in, int n_in, int fs_in,
   // onset/offset tails: the DP's toggle economics clip low-confidence section
   // edges; extend each section while ANY candidate continues the contour
   // (the role of the original algorithm's step-3/4 extension)
-  extend_sections(&f0, overlapped, tp.extend_tol);
+  extend_sections(&f0, overlapped, tp.extend_tol, x.data(), n, fs, frame_times);
   HDBG("extend: %d voiced\n", count_voiced(f0));
   if (!std::getenv("HARVEST_NO_SMOOTH"))
     smooth_contour(&f0, 1000.0 / kInternalPeriodMs);
