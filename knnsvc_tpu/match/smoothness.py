@@ -74,7 +74,12 @@ def _loss_fn(w: jax.Array, surrounding: jax.Array, scale: float) -> jax.Array:
     mean over frames of scale * row-mean MSE between the weighted vector at
     offset i (time-shifted by i) and at offset 0."""
     probs = jax.nn.softmax(w, axis=1)                               # (T, k)
-    expected = jnp.einsum("otkd,tk->otd", surrounding, probs)       # (3, T, D)
+    # k-unrolled fused multiply-adds: the einsum ("otkd,tk->otd") lowers to
+    # a gather-heavy layout that runs 2x slower on v5e (measured 0.75 vs
+    # 0.38 ms/step at T=1500, D=1024); same sum, reassociated
+    k = surrounding.shape[2]
+    expected = sum(surrounding[:, :, i, :] * probs[None, :, i, None]
+                   for i in range(k))                               # (3, T, D)
     e_m1, e_0, e_p1 = expected[0], expected[1], expected[2]
 
     def phase_mae(a, b):
@@ -106,19 +111,8 @@ def optimize_smoothness_weights(
     counts; once early stopping sets `done` (or t reaches max_steps) the
     state is frozen through the remaining inner steps. Weights can differ
     from unroll=1 in the last float bits (XLA fuses the unrolled body
-    differently).
-
-    Under set_precision("fastest") the (3, T, k, D) surrounding tensor is
-    stored bf16: each Adam iteration re-reads it (fwd + bwd), and at
-    D=1024/T=1500 that 24.6 MB of HBM traffic dominates the loop. The loss
-    still accumulates fp32 (jnp promotion); the optimizer trajectory can
-    differ slightly, like the reference's own fp16-rounded training pools
-    (ref ddsp_prematch_dataset.py:1510). Parity mode (HIGHEST) stays fp32."""
-    from knnsvc_tpu.precision import get_precision
-
+    differently)."""
     surrounding = _gather_surrounding(indices, synth_set, amp_ratio)
-    if get_precision() is not jax.lax.Precision.HIGHEST:
-        surrounding = surrounding.astype(jnp.bfloat16)
     loss_and_grad = jax.value_and_grad(_loss_fn)
 
     w0 = jnp.zeros(indices.shape, dtype=jnp.float32)

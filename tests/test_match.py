@@ -315,26 +315,3 @@ def test_match_core_post_opt_equals_stepwise():
     np.testing.assert_allclose(np.asarray(out), np.asarray(exp_out), atol=1e-6)
     np.testing.assert_allclose(np.asarray(hm), np.asarray(exp_hm), atol=1e-6)
 
-
-def test_smoothness_bf16_fast_mode_close_to_fp32():
-    """Under 'fastest' precision the smoothness optimizer stores the
-    surrounding tensor bf16 (HBM-bound loop); weights must stay close to the
-    fp32 parity-mode result and remain a valid simplex."""
-    from knnsvc_tpu.match.smoothness import optimize_smoothness_weights
-    from knnsvc_tpu.precision import set_precision
-
-    rng = np.random.default_rng(6)
-    T, P, D, k = 16, 40, 64, 4
-    idx = jnp.asarray(rng.integers(0, P, (T, k)).astype(np.int32))
-    pool = jnp.asarray(rng.standard_normal((P, D)).astype(np.float32))
-
-    try:
-        set_precision("highest")
-        w_fp32 = np.asarray(optimize_smoothness_weights(idx, pool))
-        set_precision("fastest")
-        w_bf16 = np.asarray(optimize_smoothness_weights(idx, pool))
-    finally:
-        set_precision("highest")
-
-    np.testing.assert_allclose(w_bf16.sum(axis=1), 1.0, atol=1e-5)
-    assert np.abs(w_bf16 - w_fp32).max() < 0.05
