@@ -404,6 +404,115 @@ class KnnSvc:
         save_audio(output_path, pred, self.sr)
         return output_path
 
+
+    # ---------------------------------------------------------- fast bulk
+
+    def _device_pool_for_files(self, files, duration_limit: float | None = None):
+        """Concatenated device-resident pool over a speaker's utterances
+        (matching/synth/f0/harmonics in HBM; duration_limit cuts the pool at
+        limit*50 frames like the host builder, ref :408-411)."""
+        from knnsvc_tpu.match.pool import DevicePool, build_device_pool, load_utterance
+
+        parts = []
+        total = 0
+        limit_frames = None if duration_limit is None else int(duration_limit * 50)
+        for f in files:
+            wav = load_utterance(f, self.sr)
+            if len(wav) < 0.05 * self.sr:
+                continue
+            p = build_device_pool(wav, self.wavlm_params, self.wavlm_cfg,
+                                  self.weighting, self.weighting, self.sr,
+                                  f0_method="fast", audio_path=str(f))
+            parts.append(p)
+            total += p.matching.shape[0]
+            if limit_frames is not None and total >= limit_frames:
+                break
+        assert parts, f"no usable audio in {files[:3]}..."
+        cat = lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=0)
+        pool = DevicePool(
+            matching=cat([p.matching for p in parts]),
+            synth=cat([p.synth for p in parts]),
+            f0=cat([p.f0 for p in parts]),
+            harmonics=cat([p.harmonics for p in parts]),
+        )
+        if limit_frames is not None and pool.matching.shape[0] > limit_frames:
+            pool = DevicePool(pool.matching[:limit_frames], pool.synth[:limit_frames],
+                              pool.f0[:limit_frames], pool.harmonics[:limit_frames])
+        return pool
+
+    def _vocode_device_bucketed(self, feats, bucket_frames: int = 250) -> np.ndarray:
+        """Vocode device-resident ConversionFeatures padded to a frame bucket
+        (one compile per bucket, not per length) with the int16 download."""
+        T = feats.out_feats_weighted.shape[0]
+        Tb = -(-T // bucket_frames) * bucket_frames
+        f = jnp.pad(feats.out_feats_weighted, ((0, Tb - T), (0, 0)))
+        f0 = jnp.pad(feats.shifted_query_f0, (0, Tb - T)).reshape(1, -1, 1)
+        harm = feats.harmonics_out_feats_weighted
+        harm = None if harm is None else jnp.pad(harm, ((0, Tb - T), (0, 0)))[None]
+        wav = hifigan_vocode(self.hifigan_params, self.h, self.family,
+                             f[None], f0, harm)
+        q = _quantize_int16(wav[0, : T * self.h.hop_size])
+        return np.asarray(q).astype(np.float32) / 32768.0
+
+    def _bulk_convert_fast(self, src_spks, tgt_spks, same_root,
+                           converted_audio_dir, topk, prioritize_f0, post_opt,
+                           required, duration_limit, tgt_loudness_db, resume,
+                           matcher, max_cached_pools) -> list[str]:
+        """Device-resident bulk loop: per-utterance device pools, the fused
+        one-dispatch match, bucketed vocode, int16 downloads. Semantics match
+        the host loop except: fast native f0 (not Harvest), no VAD trim of
+        the ref pool, bucket-padded vocoding (tail samples within the
+        receptive field of the pad can differ — same note as vocode_batch)."""
+        from knnsvc_tpu.match.pipeline import match_utterance, subset_key
+        from knnsvc_tpu.match.pool import list_speaker_utterances
+
+        popt = PostOpt.parse(post_opt)
+        tgt_pools: dict = {}
+
+        def tgt_pool_for(tgt_spk):
+            if tgt_spk not in tgt_pools:
+                if len(tgt_pools) >= max_cached_pools:
+                    tgt_pools.pop(next(iter(tgt_pools)))
+                tgt_pools[tgt_spk] = self._device_pool_for_files(
+                    list_speaker_utterances(tgt_spk), duration_limit)
+            return tgt_pools[tgt_spk]
+
+        written: list[str] = []
+        for i, spk in enumerate(src_spks):
+            src_files = list_speaker_utterances(spk)
+            src_pools: dict = {}  # per-utterance device pools, built lazily once
+            for j, tgt_spk in enumerate(tgt_spks):
+                if same_root and i == j:
+                    continue
+                ref = None
+                for src_file in src_files:
+                    out = os.path.join(
+                        converted_audio_dir, os.path.basename(spk),
+                        os.path.basename(str(src_file)).split(".")[0],
+                        os.path.basename(str(tgt_spk)) + ".wav",
+                    )
+                    if resume and os.path.exists(out):
+                        continue
+                    if required is not None and                             subset_key(str(src_file), str(tgt_spk)) not in required:
+                        continue
+                    if ref is None:
+                        ref = tgt_pool_for(tgt_spk)
+                    if src_file not in src_pools:
+                        src_pools[src_file] = self._device_pool_for_files([src_file])
+                    src = src_pools[src_file]
+                    feats = match_utterance(
+                        src.matching, src.f0, ref.matching, ref.synth, ref.f0,
+                        ref.harmonics, ckpt_type=self.ckpt_type, post_opt=popt,
+                        topk=topk, prioritize_f0=prioritize_f0, matcher=matcher,
+                        as_numpy=False)
+                    pred = self._vocode_device_bucketed(feats)
+                    if tgt_loudness_db is not None:
+                        pred = normalize_loudness(pred, self.sr, tgt_loudness_db)
+                    os.makedirs(os.path.dirname(out), exist_ok=True)
+                    save_audio(out, pred, self.sr)
+                    written.append(out)
+        return written
+
     def bulk_convert(self, src_dataset_path: str, tgt_dataset_path: str,
                      converted_audio_dir: str, topk: int = 4,
                      prioritize_f0: bool = True, post_opt: str = "no_post_opt",
@@ -414,7 +523,8 @@ class KnnSvc:
                      batch_vocode: bool = False,
                      pool_cache_dir: str | None = None,
                      matcher: str = "exact", mesh=None,
-                     max_cached_pools: int = 8) -> list[str]:
+                     max_cached_pools: int = 8,
+                     fast: bool = False) -> list[str]:
         """Dataset -> dataset conversion (ref bulk_match :1027-1156): every
         (src speaker, tgt speaker) pair except same-index self pairs; outputs
         `<dir>/<src_spk>/<utt>/<tgt_spk>.<ext>`. Source pools are built once
@@ -422,7 +532,13 @@ class KnnSvc:
         them per pair with the cache force-disabled — ref :1086-1087).
         resume=True skips (src utt, tgt spk) outputs that already exist —
         crash/preemption recovery for long runs (the reference has none,
-        SURVEY.md §5 'failure detection: none')."""
+        SURVEY.md §5 'failure detection: none').
+
+        fast=True runs the device-resident bulk loop (_bulk_convert_fast):
+        pools/match/vocode stay in HBM, fast native f0, bucketed vocoding,
+        int16 downloads — ~3x the host-pool loop's throughput on tunneled
+        single-chip setups (BASELINE.md). Ignores batch_vocode/pool_cache_dir
+        /mesh (single-chip serving mode)."""
         assert os.path.isdir(src_dataset_path) and os.path.isdir(tgt_dataset_path)
         os.makedirs(converted_audio_dir, exist_ok=True)
 
@@ -444,6 +560,14 @@ class KnnSvc:
             with open(required_subset_file) as fp:
                 reader = csv.reader(fp, delimiter=",", quotechar='"')
                 required = [row[2] for i, row in enumerate(reader) if i != 0 and row[-1] == "0"]
+
+        if fast:
+            return self._bulk_convert_fast(
+                src_spks, tgt_spks, src_dataset_path == tgt_dataset_path,
+                converted_audio_dir, topk, prioritize_f0, post_opt,
+                set(required) if required is not None else None,
+                duration_limit, tgt_loudness_db, resume, matcher,
+                max_cached_pools)
 
         written: list[str] = []
         # every target pool is shared by ALL source speakers: build each once

@@ -32,6 +32,7 @@ def knn_topk(query: jax.Array, pool: jax.Array, k: int = 32,
     (default) matches the reference's topk semantics for parity."""
     Q, _ = query.shape
     P = pool.shape[0]
+    k = min(k, P)  # tiny pools (aggressive duration_limit) have < k rows
 
     def tile_topk(dists):
         if approx:

@@ -98,3 +98,27 @@ def test_bulk_convert_then_speaker_sim_eval(bulk_world, tmp_path):
 
     diff = compare_score_csvs(str(score_csv), str(score_csv), k=2)
     assert all(abs(d) < 1e-12 for _, d, _ in diff["best"] + diff["worst"])
+
+
+@pytest.mark.slow
+def test_bulk_convert_fast_mode(bulk_world, tmp_path):
+    """Device-resident bulk loop: same output tree, valid audio, resume."""
+    root, src_root, tgt_root, knn = bulk_world
+    out_dir = tmp_path / "converted_fast"
+
+    written = knn.bulk_convert(str(src_root), str(tgt_root), str(out_dir), fast=True)
+    assert len(written) == 8
+    assert (out_dir / "s2" / "s2_utt2" / "t2.wav").is_file()
+    for p in written:
+        y, sr = load_audio(p)
+        assert sr == 16000 and np.isfinite(y).all() and np.abs(y).max() <= 1.0
+
+    again = knn.bulk_convert(str(src_root), str(tgt_root), str(out_dir),
+                             fast=True, resume=True)
+    assert len(again) == 0
+
+    # duration_limit bounds the target pool without breaking conversion
+    limited = knn.bulk_convert(str(src_root), str(tgt_root),
+                               str(tmp_path / "converted_lim"), fast=True,
+                               duration_limit=0.5)
+    assert len(limited) == 8
