@@ -110,7 +110,9 @@ def run_config(name: str, precision: str, matcher: str, post_opt: str,
                          feats.out_feats_weighted[None],
                          feats.shifted_query_f0.reshape(1, -1, 1),
                          feats.harmonics_out_feats_weighted[None])
-            wav = np.asarray(wav)  # production delivers host audio
+            # production (hub fast path) downloads int16 — half the bytes
+            q = jnp.clip(jnp.round(wav * 32768.0), -32768, 32767).astype(jnp.int16)
+            wav = np.asarray(q).astype(np.float32) / 32768.0
         return wav
 
     t0 = time.time()
@@ -130,7 +132,7 @@ def run_config(name: str, precision: str, matcher: str, post_opt: str,
     # compute in flight, and the single sync is the waveform download the
     # production path needs anyway
     times = []
-    for _ in range(3):
+    for _ in range(6):  # min-of-6: the shared tunnel/chip shows ~40% swings
         t0 = time.time()
         wav = convert_once(StageTimer(sync=False))
         times.append(time.time() - t0)
