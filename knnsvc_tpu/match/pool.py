@@ -25,6 +25,7 @@ TPU design notes:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from pathlib import Path
 from typing import Callable, Sequence
@@ -210,6 +211,7 @@ def harmonic_amplitudes(spec: np.ndarray, f0: np.ndarray, sr: int = SAMPLE_RATE)
     return (HARMONIC_SCALE * gathered).astype(np.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("sr",))
 def harmonic_amplitudes_jax(spec: jnp.ndarray, f0: jnp.ndarray,
                             sr: int = SAMPLE_RATE) -> jnp.ndarray:
     """Device-resident harmonic_amplitudes (jnp, jittable): same math as the
@@ -239,6 +241,17 @@ def harmonic_amplitudes_jax(spec: jnp.ndarray, f0: jnp.ndarray,
          jnp.zeros((T, N_HARMONICS - 1), spec.dtype)], axis=1)
     gathered = jnp.where(unvoiced, first, gathered)
     return (HARMONIC_SCALE * gathered).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "layers"))
+def _encode_and_spec(wavlm_params, cfg, x, layers: tuple):
+    """WavLM layer extraction(s) + linear spectrogram of one padded chunk as
+    a single compiled program (the serving pool build is dispatch-bound on
+    tunneled single-chip setups)."""
+    outs = [wavlm_extract_layer(wavlm_params, cfg, x, output_layer=l)[0]
+            for l in layers]
+    outs.append(linear_spectrogram(x[0]))
+    return tuple(outs)
 
 
 @dataclasses.dataclass
@@ -285,10 +298,12 @@ def build_device_pool(
         n_pad = HOP_LENGTH - (len(chunk) % HOP_LENGTH)  # ref :284 pad quirk
         chunk = np.pad(chunk, (0, n_pad))
         x = jnp.asarray(chunk)[None]                    # the upload
-        for l in layers:
-            feats[l].append(wavlm_extract_layer(wavlm_params, wavlm_cfg, x,
-                                                output_layer=l)[0])
-        specs.append(linear_spectrogram(x[0]))
+        # one dispatch per chunk: encode(s) + spectrogram fused (each
+        # dispatch costs a ~10 ms host round trip on tunneled setups)
+        outs = _encode_and_spec(wavlm_params, wavlm_cfg, x, tuple(layers))
+        for l, f in zip(layers, outs[:-1]):
+            feats[l].append(f)
+        specs.append(outs[-1])
         start += chunk_len
 
     matching = jnp.concatenate(feats[m_hot], axis=0)
