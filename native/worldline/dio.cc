@@ -43,7 +43,7 @@ namespace worldline {
 namespace {
 
 constexpr double kTargetFs = 8000.0;
-constexpr double kChannelOversample = 6.0;  // band rate / boundary f0
+constexpr double kChannelOversample = 3.5;  // band rate / boundary f0
 
 struct Candidate {
   std::vector<double> f0;   // per frame
