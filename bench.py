@@ -132,7 +132,7 @@ def run_config(name: str, precision: str, matcher: str, post_opt: str,
     # compute in flight, and the single sync is the waveform download the
     # production path needs anyway
     times = []
-    for _ in range(6):  # min-of-6: the shared tunnel/chip shows ~40% swings
+    for _ in range(12):  # min-of-12: the shared tunnel/chip shows ~40% swings
         t0 = time.time()
         wav = convert_once(StageTimer(sync=False))
         times.append(time.time() - t0)
