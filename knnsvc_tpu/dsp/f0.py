@@ -29,6 +29,16 @@ F0_ZERO_BELOW = 80.0
 DEFAULT_HOP = 320
 
 
+def _sidecar_path(audio_path: str, method: str = "harvest") -> str:
+    """Parity-grade extractors share the reference's `<stem>_f0.npy` name;
+    approximate extractors (fast DIO, YIN) cache under a method-suffixed
+    name so they can never silently downgrade a later Harvest-quality read
+    (`<stem>_f0.npy` is trusted by the parity path)."""
+    stem = os.path.splitext(str(audio_path))[0]
+    suffix = "_f0.npy" if method == "harvest" else f"_f0_{method}.npy"
+    return stem + suffix
+
+
 def load_f0_sidecar(audio_path: str) -> np.ndarray | None:
     sidecar = os.path.splitext(str(audio_path))[0] + "_f0.npy"
     if os.path.isfile(sidecar):
@@ -138,7 +148,14 @@ def get_f0(x: np.ndarray, sr: int, audio_path: str | None = None,
     (pure-numpy fallback). harvest/fast fall back to YIN when the native
     toolchain is unavailable."""
     if use_sidecar and audio_path is not None:
+        # the parity sidecar (harvest-grade, the reference's convention) is
+        # preferred by every method; approximate methods fall back to their
+        # own method-suffixed cache
         cached = load_f0_sidecar(audio_path)
+        if cached is None and method != "harvest":
+            p = _sidecar_path(audio_path, method)
+            if os.path.exists(p):
+                cached = np.load(p).astype(np.float32)
         if cached is not None:
             return cached
     if method == "yin":
@@ -153,7 +170,8 @@ def get_f0(x: np.ndarray, sr: int, audio_path: str | None = None,
             f0 = yin_f0(x, sr, hop=hop)
     if write_sidecar and audio_path is not None:
         try:
-            save_f0_sidecar(audio_path, f0)
+            # approximate methods must not poison the parity sidecar
+            np.save(_sidecar_path(audio_path, method), np.asarray(f0, dtype=np.float32))
         except OSError:
             pass  # read-only source tree
     return f0

@@ -351,6 +351,11 @@ class KnnSvc:
         matcher, and the output is quantized at 16-bit depth on the device
         (inaudible vs the fp32 path; tested <= 2e-5 sample deviation)."""
         if fast:
+            if matcher not in ("exact", "approx"):
+                raise ValueError(
+                    f"--fast supports matcher 'exact' or 'approx', not "
+                    f"{matcher!r} (the int8/sharded pools are host-prepared; "
+                    "use the default path for them)")
             from knnsvc_tpu.match.pool import build_device_pool, load_utterance
 
             src_wav = load_utterance(src_wav_file, self.sr)
@@ -466,6 +471,10 @@ class KnnSvc:
         from knnsvc_tpu.match.pipeline import match_utterance, subset_key
         from knnsvc_tpu.match.pool import list_speaker_utterances
 
+        if matcher not in ("exact", "approx"):
+            raise ValueError(
+                f"bulk_convert(fast=True) supports matcher 'exact' or "
+                f"'approx', not {matcher!r}")
         popt = PostOpt.parse(post_opt)
         tgt_pools: dict = {}
 
@@ -500,11 +509,33 @@ class KnnSvc:
                     if src_file not in src_pools:
                         src_pools[src_file] = self._device_pool_for_files([src_file])
                     src = src_pools[src_file]
+                    # bucket-pad the query so the fused match (minutes of
+                    # compile for the post_opt core) compiles once per frame
+                    # BUCKET, not once per utterance length: features pad by
+                    # edge replication, f0 by zeros (unvoiced — keeps the
+                    # voiced-median register shift exact); outputs sliced to
+                    # the true length below
+                    T = src.matching.shape[0]
+                    Tb = -(-T // 250) * 250
+                    if Tb != T:
+                        m = jnp.concatenate(
+                            [src.matching,
+                             jnp.repeat(src.matching[-1:], Tb - T, axis=0)], 0)
+                        qf0 = jnp.concatenate(
+                            [src.f0, jnp.zeros(Tb - T, src.f0.dtype)], 0)
+                    else:
+                        m, qf0 = src.matching, src.f0
                     feats = match_utterance(
-                        src.matching, src.f0, ref.matching, ref.synth, ref.f0,
+                        m, qf0, ref.matching, ref.synth, ref.f0,
                         ref.harmonics, ckpt_type=self.ckpt_type, post_opt=popt,
                         topk=topk, prioritize_f0=prioritize_f0, matcher=matcher,
                         as_numpy=False)
+                    if Tb != T:
+                        harm = feats.harmonics_out_feats_weighted
+                        feats = ConversionFeatures(
+                            feats.out_feats_weighted[:T],
+                            feats.shifted_query_f0[:T],
+                            None if harm is None else harm[:T])
                     pred = self._vocode_device_bucketed(feats)
                     if tgt_loudness_db is not None:
                         pred = normalize_loudness(pred, self.sr, tgt_loudness_db)

@@ -57,13 +57,16 @@ def mp3_stream_info(path: str | os.PathLike) -> tuple[int, int]:
     by a second valid header exactly one frame length later — a lone 11-bit
     sync match inside tag/junk bytes is common."""
     with open(path, "rb") as f:
+        head = f.read(10)
+        skip = 0
+        # skip ID3v2 by its declared size (tags with embedded cover art can
+        # exceed any fixed read budget)
+        if head[:3] == b"ID3" and len(head) >= 10:
+            skip = 10 + (((head[6] & 0x7F) << 21) | ((head[7] & 0x7F) << 14)
+                         | ((head[8] & 0x7F) << 7) | (head[9] & 0x7F))
+        f.seek(skip)
         data = f.read(256 * 1024)
     i = 0
-    # skip ID3v2
-    if data[:3] == b"ID3" and len(data) >= 10:
-        size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
-            | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
-        i = 10 + size
     n = len(data)
     while i + 4 <= n:
         hdr = _parse_header(data, i)

@@ -11,24 +11,30 @@ from __future__ import annotations
 from typing import Any
 
 
-def save_train_state(directory: str, step: int, state: Any, keep: int = 1) -> None:
+def save_train_state(directory: str, step: int, state: Any, keep: int = 1,
+                     epoch: int = 0) -> None:
     import orbax.checkpoint as ocp
 
     with ocp.CheckpointManager(
         directory, options=ocp.CheckpointManagerOptions(max_to_keep=keep, create=True)
     ) as mngr:
-        mngr.save(step, args=ocp.args.StandardSave(state))
+        # epoch rides along like the pickle do_ checkpoint's (ref
+        # ddsp_train.py:352-367) so resume restarts at the right epoch
+        mngr.save(step, args=ocp.args.StandardSave(
+            {"state": state, "epoch": int(epoch)}))
         mngr.wait_until_finished()
 
 
-def restore_train_state(directory: str, template: Any, step: int | None = None) -> tuple[Any, int]:
+def restore_train_state(directory: str, template: Any,
+                        step: int | None = None) -> tuple[Any, int, int]:
     """Restore the latest (or given) step into the structure of `template`.
-    Returns (state, step)."""
+    Returns (state, step, epoch)."""
     import orbax.checkpoint as ocp
 
     with ocp.CheckpointManager(directory) as mngr:
         step = mngr.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no orbax checkpoints under {directory}")
-        state = mngr.restore(step, args=ocp.args.StandardRestore(template))
-        return state, step
+        payload = mngr.restore(step, args=ocp.args.StandardRestore(
+            {"state": template, "epoch": 0}))
+        return payload["state"], step, int(payload["epoch"])

@@ -65,10 +65,12 @@ def _match_core(q, matching, synth, pool_f0, harmonics, qf0,
     return out, shifted, harm
 
 @functools.partial(jax.jit, static_argnames=("topk", "approx", "use_harmonics",
-                                             "concat_weight", "opt_enabled"))
+                                             "concat_weight", "opt_enabled",
+                                             "use_pallas_concat"))
 def _match_core_post_opt(q, matching, synth, pool_f0, harmonics, qf0,
                          topk: int, approx: bool, use_harmonics: bool,
-                         concat_weight: float, opt_enabled: bool):
+                         concat_weight: float, opt_enabled: bool,
+                         use_pallas_concat: bool = False):
     """The whole post_opt match as ONE compiled program: kNN + register shift
     + f0-priority re-rank + both concat-cost reselections (lane-stacked into
     a single scan — they are independent) + both smoothness optimizations +
@@ -89,8 +91,7 @@ def _match_core_post_opt(q, matching, synth, pool_f0, harmonics, qf0,
 
             T, D = q.shape
             P = matching.shape[0]
-            if (os.environ.get("KNNSVC_PALLAS_CONCAT") == "1"
-                    and pallas_concat_pair_ok(T, P, D, topk)):
+            if use_pallas_concat and pallas_concat_pair_ok(T, P, D, topk):
                 # opt-in experiment: measured at parity with the scan
                 # (selection-identical; see ops/concat_scan.py docstring)
                 target_idx, pitched_idx = concat_cost_pair_pallas(
@@ -168,6 +169,18 @@ class ConversionFeatures:
     harmonics_out_feats_weighted: np.ndarray | None = None  # (T, 49), mix only
 
 
+@functools.lru_cache(maxsize=1)
+def _default_pool_mesh():
+    """One shared all-devices pool mesh. _prepare_ref_pool caches shardings
+    by mesh identity; a fresh mesh per call would re-shard (re-upload) the
+    whole target pool on every conversion."""
+    import jax
+
+    from knnsvc_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(n_data=1, n_pool=len(jax.devices()))
+
+
 def subset_key(src_path: str, ref_path: str) -> str:
     """Membership key for required_subset filtering (ref :1181)."""
     return os.path.basename(src_path).split(".")[0] + "/" + os.path.basename(ref_path)
@@ -223,7 +236,9 @@ def match_utterance(
                 harmonics_list if use_harm else synth_list[:, :1],
                 jnp.asarray(query_f0), topk=topk, approx=(matcher == "approx"),
                 use_harmonics=use_harm, concat_weight=post_opt.concat_weight,
-                opt_enabled=post_opt.enabled)
+                opt_enabled=post_opt.enabled,
+                # read OUTSIDE the jit so toggling the env var retraces
+                use_pallas_concat=os.environ.get("KNNSVC_PALLAS_CONCAT") == "1")
         if not as_numpy:
             return ConversionFeatures(out, shifted, harm)
         return ConversionFeatures(
@@ -326,11 +341,7 @@ def match_at_inference_time(
         )
 
     if matcher == "sharded" and mesh is None:
-        import jax
-
-        from knnsvc_tpu.parallel.mesh import make_mesh
-
-        mesh = make_mesh(n_data=1, n_pool=len(jax.devices()))
+        mesh = _default_pool_mesh()
 
     # the fp32 matching pool only goes to the device (replicated) when
     # something reads it (int8/sharded matchers + disabled concat cost never

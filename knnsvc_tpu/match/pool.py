@@ -291,6 +291,7 @@ def build_device_pool(
     specs = []
     chunk_len = CHUNK_SECONDS * sr
     start = 0
+    chunk_index = 0
     while start < len(wav):
         chunk = wav[start : start + chunk_len]
         if len(chunk) <= MIN_CHUNK_SECONDS * sr:
@@ -303,13 +304,27 @@ def build_device_pool(
         outs = _encode_and_spec(wavlm_params, wavlm_cfg, x, tuple(layers))
         for l, f in zip(layers, outs[:-1]):
             feats[l].append(f)
-        specs.append(outs[-1])
+        # Spec/feature alignment. The reference indexes a CONTINUOUS
+        # whole-utterance spectrogram with the pool row (ref :361-366), while
+        # the ref's pad quirk (:284) makes each chunk contribute one extra
+        # feature frame — so pool row k of chunk c corresponds to continuous
+        # spec row (chunk start frame) + (k - prevT) = chunk-local row + c.
+        # Slice each chunk's spec at that offset (clamped: a chunk spec has
+        # exactly one spare row, so chunks beyond the second stay one row
+        # early — a 20 ms approximation at 60 s+ boundaries, vs the whole
+        # tail being shifted when slicing the concatenation globally).
+        Tc = outs[0].shape[0]
+        spec_c = outs[-1]
+        off = min(chunk_index, spec_c.shape[0] - Tc)
+        specs.append(spec_c[off : off + Tc])
         start += chunk_len
+        chunk_index += 1
 
     matching = jnp.concatenate(feats[m_hot], axis=0)
     synth = matching if s_hot == m_hot else jnp.concatenate(feats[s_hot], axis=0)
     T = matching.shape[0]
-    spec = jnp.concatenate(specs, axis=0)[:T]
+    spec = jnp.concatenate(specs, axis=0)
+    assert spec.shape[0] == T, (spec.shape, T)
 
     f0_np = get_f0(wav, sr, audio_path=audio_path, method=f0_method,
                    use_sidecar=audio_path is not None,

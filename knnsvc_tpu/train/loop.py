@@ -94,10 +94,12 @@ def train(
         from knnsvc_tpu.io.orbax_ckpt import restore_train_state
 
         try:
-            state, start_steps = restore_train_state(
+            state, start_steps, ckpt_epoch = restore_train_state(
                 os.path.join(resume_from, "orbax"), jax.device_get(state))
             start_steps += 1
-            print(f"restored orbax checkpoint at step {start_steps}", flush=True)
+            start_epoch = ckpt_epoch + 1
+            print(f"restored orbax checkpoint at step {start_steps} "
+                  f"(epoch {start_epoch})", flush=True)
         except FileNotFoundError:
             pass
     elif resume_from is not None:
@@ -194,7 +196,8 @@ def train(
                 from knnsvc_tpu.io.orbax_ckpt import save_train_state
 
                 save_train_state(os.path.join(checkpoint_path, "orbax"),
-                                 steps, jax.device_get(state), keep=1)
+                                 steps, jax.device_get(state), keep=1,
+                                 epoch=epoch)
                 cur_best_ckpts = []
             else:
                 new_ckpts = [

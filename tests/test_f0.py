@@ -99,3 +99,34 @@ def test_worldline_matches_shipped_harvest_sidecar(sample_content):
     precision = (rv & ov).sum() / ov.sum()
     recall = (rv & ov).sum() / rv.sum()
     assert precision > 0.85 and recall > 0.80, (precision, recall)
+
+
+def test_fast_method_does_not_poison_parity_sidecar(tmp_path):
+    """A fast-method (DIO/YIN) run must never write the reference-convention
+    `<stem>_f0.npy` sidecar that the parity Harvest path trusts; it caches
+    under a method-suffixed name, while a pre-existing parity sidecar is
+    preferred by every method."""
+    import numpy as np
+
+    from knnsvc_tpu.dsp.f0 import get_f0
+    from knnsvc_tpu.io.audio import save_audio
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    wav = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    p = tmp_path / "utt.wav"
+    save_audio(p, wav, sr)
+
+    f0_fast = get_f0(wav, sr, audio_path=str(p), method="yin")
+    assert not (tmp_path / "utt_f0.npy").exists()
+    assert (tmp_path / "utt_f0_yin.npy").exists()
+
+    # the fast cache is reused on the next fast call
+    again = get_f0(np.zeros_like(wav), sr, audio_path=str(p), method="yin")
+    np.testing.assert_array_equal(f0_fast, again)
+
+    # a parity sidecar, once present, wins for every method
+    parity = np.full_like(f0_fast, 123.0)
+    np.save(tmp_path / "utt_f0.npy", parity)
+    got = get_f0(wav, sr, audio_path=str(p), method="yin")
+    np.testing.assert_array_equal(got, parity)
