@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="kNN candidate search: exact (parity), approx (aggregated "
                              "top-k), int8 (quantized pool), sharded (pool sharded over "
                              "all devices' Mesh 'pool' axis, distributed top-k merge)")
+    parser.add_argument("--out", type=str, default=None,
+                        help="pair mode: explicit output path (default: the "
+                             "reference's convention of writing next to the "
+                             "source file, ref ddsp_matcher.py:1013-1023)")
     parser.add_argument("--fast", type=str2bool, default=False,
                         help="device-resident serving path (pools/match/vocode "
                              "stay in HBM, fast native f0, int16 downloads; "
@@ -98,7 +102,7 @@ def main(argv=None) -> int:
         out = knn.convert_pair(
             args.src, args.tgt, topk=args.topk, prioritize_f0=args.prioritize_f0,
             post_opt=args.post_opt, tgt_loudness_db=loudness, matcher=args.matcher,
-            fast=args.fast,
+            fast=args.fast, output_path=args.out,
         )
         print("->", out)
         return 0
