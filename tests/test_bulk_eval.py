@@ -122,3 +122,36 @@ def test_bulk_convert_fast_mode(bulk_world, tmp_path):
                                str(tmp_path / "converted_lim"), fast=True,
                                duration_limit=0.5)
     assert len(limited) == 8
+
+
+@pytest.mark.slow
+def test_cli_pair_and_folder_modes(bulk_world, tmp_path, monkeypatch):
+    """CLI main(): argument plumbing, file/dir sniffing, --out, --fast,
+    bulk output-dir naming (ref ddsp_inference.py:79-103)."""
+    root, src_root, tgt_root, knn = bulk_world
+    from knnsvc_tpu.cli import inference as cli
+    from knnsvc_tpu.hub import KnnSvc
+
+    monkeypatch.setattr(KnnSvc, "random_init", classmethod(lambda cls, *a, **k: knn))
+
+    # pair mode with explicit --out
+    out = tmp_path / "pair.wav"
+    rc = cli.main([
+        str(src_root / "s1" / "s1_utt1.wav"), str(tgt_root / "t1" / "t1_ref1.wav"),
+        "--random_init", "true", "--fast", "true", "--matcher", "approx",
+        "--out", str(out),
+    ])
+    assert rc == 0 and out.is_file()
+    y, sr = load_audio(out)
+    assert sr == 16000 and np.isfinite(y).all()
+
+    # folder mode: output dir naming next to the target root
+    rc = cli.main([
+        str(src_root), str(tgt_root),
+        "--random_init", "true", "--fast", "true", "--matcher", "approx",
+    ])
+    assert rc == 0
+    expect_dir = tgt_root.parent / f"{src_root.name}_to_{tgt_root.name}_mix_post_opt_no_post_opt"
+    assert expect_dir.is_dir(), sorted(p.name for p in tgt_root.parent.iterdir())
+    wavs = list(expect_dir.rglob("*.wav"))
+    assert len(wavs) == 8
