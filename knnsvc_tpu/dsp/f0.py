@@ -158,6 +158,7 @@ def get_f0(x: np.ndarray, sr: int, audio_path: str | None = None,
                 cached = np.load(p).astype(np.float32)
         if cached is not None:
             return cached
+    method_used = method
     if method == "yin":
         f0 = yin_f0(x, sr, hop=hop)
     else:
@@ -168,10 +169,13 @@ def get_f0(x: np.ndarray, sr: int, audio_path: str | None = None,
             f0 = fn(x, sr, hop=hop)
         except (ImportError, OSError):
             f0 = yin_f0(x, sr, hop=hop)
+            method_used = "yin"  # the fallback must not write Harvest's sidecar
     if write_sidecar and audio_path is not None:
         try:
-            # approximate methods must not poison the parity sidecar
-            np.save(_sidecar_path(audio_path, method), np.asarray(f0, dtype=np.float32))
+            # cache under the EXECUTED method's name: approximate output must
+            # never poison the parity (<stem>_f0.npy) sidecar
+            np.save(_sidecar_path(audio_path, method_used),
+                    np.asarray(f0, dtype=np.float32))
         except OSError:
             pass  # read-only source tree
     return f0

@@ -21,14 +21,11 @@ from __future__ import annotations
 import ctypes
 import os
 import pathlib
-import subprocess
 
 import numpy as np
 
 from knnsvc_tpu.dsp.f0 import F0_CEIL, F0_FLOOR, F0_ZERO_BELOW
 
-_NATIVE_DIR = pathlib.Path(__file__).resolve().parent.parent.parent / "native"
-_LIB_PATH = _NATIVE_DIR / "build" / "libworldline.so"
 
 _lib = None
 
@@ -37,14 +34,9 @@ def _load_library() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists():
-        # lazy build (no-op if toolchain missing -> OSError below)
-        try:
-            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
-                           capture_output=True, timeout=300)
-        except (subprocess.SubprocessError, FileNotFoundError) as e:
-            raise OSError(f"worldline native lib not built: {e}") from e
-    lib = ctypes.CDLL(str(_LIB_PATH))
+    from knnsvc_tpu.native_util import load_native_library
+
+    lib = load_native_library("libworldline.so", "worldline")
     lib.worldline_n_frames.restype = ctypes.c_int
     lib.worldline_n_frames.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_double]
     lib.worldline_dio.restype = ctypes.c_int

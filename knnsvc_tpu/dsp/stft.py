@@ -134,5 +134,9 @@ def log_mel_spectrogram(
     wav = jnp.pad(wav, [(0, 0)] * (wav.ndim - 1) + [(pad, pad)], mode="reflect")
     spec = stft_magnitude(wav, n_fft=n_fft, hop_length=hop_size, win_length=win_size, center=False, power=1.0)
     fb = jnp.asarray(mel_filterbank(sampling_rate, n_fft, num_mels, fmin, fmax))
-    mel = jnp.einsum("mf,...ft->...mt", fb, spec)
+    from knnsvc_tpu.precision import get_precision
+
+    mel = jnp.einsum("mf,...ft->...mt", fb, spec,
+                     preferred_element_type=jnp.float32,
+                     precision=get_precision())
     return jnp.log(jnp.clip(mel, min=1e-5))

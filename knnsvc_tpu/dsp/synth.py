@@ -85,7 +85,11 @@ def upsample_bicubic(signal: jax.Array, factor: int) -> jax.Array:
     W = jnp.asarray(_bicubic_tap_matrix(factor), dtype=signal.dtype)  # (factor, 5)
     padded = jnp.pad(signal, ((0, 0), (2, 2), (0, 0)), mode="edge")
     shifts = jnp.stack([padded[:, d : d + T] for d in range(5)], axis=0)  # (5, B, T, C)
-    out = jnp.einsum("dbtc,pd->btpc", shifts, W)
+    from knnsvc_tpu.precision import get_precision
+
+    out = jnp.einsum("dbtc,pd->btpc", shifts, W,
+                     preferred_element_type=jnp.float32,
+                     precision=get_precision())
     return out.reshape(B, T * factor, C)
 
 

@@ -152,8 +152,10 @@ def save_audio(filename: Union[str, os.PathLike], waveform, sample_rate: int) ->
     if waveform.ndim == 1:
         frames = waveform[:, None]
     else:
-        # (channels, T) -> interleaved frames, like soundfile's waveform.T
-        frames = waveform.T if waveform.shape[0] <= waveform.shape[1] else waveform
+        # documented contract: (channels, T) -> interleaved frames, like
+        # soundfile's waveform.T (no shape guessing: a (4, 2) input is four
+        # channels of two samples, not the other way round)
+        frames = waveform.T
     n_channels = frames.shape[1]
     body = frames.astype("<i4").tobytes()
 

@@ -9,12 +9,9 @@ from __future__ import annotations
 
 import ctypes
 import pathlib
-import subprocess
 
 import numpy as np
 
-_NATIVE_DIR = pathlib.Path(__file__).resolve().parent.parent.parent / "native"
-_LIB_PATH = _NATIVE_DIR / "build" / "libflacdec.so"
 
 _lib = None
 
@@ -23,13 +20,9 @@ def _load_library() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists():
-        try:
-            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
-                           capture_output=True, timeout=300)
-        except (subprocess.SubprocessError, FileNotFoundError) as e:
-            raise OSError(f"flacdec native lib not built: {e}") from e
-    lib = ctypes.CDLL(str(_LIB_PATH))
+    from knnsvc_tpu.native_util import load_native_library
+
+    lib = load_native_library("libflacdec.so", "flacdec")
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.flacdec_probe.restype = ctypes.c_int
     lib.flacdec_probe.argtypes = [u8p, ctypes.c_long, ctypes.POINTER(ctypes.c_int),

@@ -64,6 +64,8 @@ def mp3_stream_info(path: str | os.PathLike) -> tuple[int, int]:
         if head[:3] == b"ID3" and len(head) >= 10:
             skip = 10 + (((head[6] & 0x7F) << 21) | ((head[7] & 0x7F) << 14)
                          | ((head[8] & 0x7F) << 7) | (head[9] & 0x7F))
+        f.seek(0, os.SEEK_END)
+        file_end = f.tell()
         f.seek(skip)
         data = f.read(256 * 1024)
     i = 0
@@ -74,7 +76,12 @@ def mp3_stream_info(path: str | os.PathLike) -> tuple[int, int]:
             sr, channels, frame_len = hdr
             j = i + frame_len
             nxt = _parse_header(data, j)
-            if j + 4 > n or (nxt is not None and nxt[0] == sr and nxt[1] == channels):
+            if nxt is not None and nxt[0] == sr and nxt[1] == channels:
+                return sr, channels
+            # a lone header is only trusted when the confirming position is
+            # past the END OF FILE (a genuine final frame), not merely past
+            # the read buffer — junk syncs near the buffer edge must not win
+            if skip + j + 4 > file_end and skip + i + frame_len <= file_end:
                 return sr, channels
         i += 1
     raise ValueError(f"no valid MPEG audio frame found in {path}")

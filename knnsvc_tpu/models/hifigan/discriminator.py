@@ -31,19 +31,22 @@ def _spectral_norm_weight(p: Params, update: bool):
     """w / sigma, matching torch.nn.utils.spectral_norm: in training
     (update=True) run one power-iteration step on the stored (u, v); in eval
     use them as-is. sigma = u^T W v, eps 1e-12. Returns (w_norm, u, v)."""
+    from knnsvc_tpu.precision import get_precision
+
     w, u, v = p["v_sn"], p["u"], p["v_pow"]
     w_mat = w.reshape(w.shape[0], -1)
+    mv = lambda a, b: jnp.matmul(a, b, precision=get_precision())
     if update:
         # power iteration runs without gradient (torch does it under no_grad)
         wm = jax.lax.stop_gradient(w_mat)
-        v = wm.T @ u
+        v = mv(wm.T, u)
         v = v / (jnp.linalg.norm(v) + 1e-12)
-        u = wm @ v
+        u = mv(wm, v)
         u = u / (jnp.linalg.norm(u) + 1e-12)
     # sigma keeps the gradient path through w; u, v are constants
     u = jax.lax.stop_gradient(u)
     v = jax.lax.stop_gradient(v)
-    sigma = u @ (w_mat @ v)
+    sigma = mv(u, mv(w_mat, v))
     return w / sigma, u, v
 
 

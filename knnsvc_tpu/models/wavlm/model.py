@@ -298,7 +298,9 @@ def cached_position_bias(params: Params, cfg: WavLMConfig, seq_len: int) -> jax.
         if len(_POS_BIAS_CACHE) >= _POS_BIAS_MAX_TABLES:
             _POS_BIAS_CACHE.pop(next(iter(_POS_BIAS_CACHE)))
         entry = (table, {})
-        _POS_BIAS_CACHE[key] = entry
+    else:
+        del _POS_BIAS_CACHE[key]  # re-insert at the back: true LRU eviction
+    _POS_BIAS_CACHE[key] = entry
     per_table = entry[1]
     if seq_len not in per_table:
         if len(per_table) > 16:

@@ -57,16 +57,23 @@ class MelDataset:
         self.audio_root = Path(audio_root_path)
         self.feat_root = Path(feat_root_path)
 
-        audio_paths: list[str] = []
-        for ext in (".flac", ".wav"):
-            audio_paths += [
-                os.path.relpath(p, self.audio_root)
-                for p in sorted(self.audio_root.rglob("*" + ext))
-            ]
+        # pair by relative stem path (extension-grouped positional pairing
+        # silently mis-pairs mixed .flac/.wav datasets against the globally
+        # sorted feature list)
+        audio_paths = sorted(
+            (os.path.relpath(p, self.audio_root)
+             for ext in (".flac", ".wav")
+             for p in self.audio_root.rglob("*" + ext)),
+            key=lambda rp: os.path.splitext(rp)[0],
+        )
         assert audio_paths, f"no audio under {self.audio_root}"
-        feat_paths = [
-            os.path.relpath(p, self.feat_root) for p in sorted(self.feat_root.rglob("*.pt"))
-        ]
+        feat_paths = sorted(
+            (os.path.relpath(p, self.feat_root) for p in self.feat_root.rglob("*.pt")),
+            key=lambda rp: os.path.splitext(rp)[0],
+        )
+        assert [os.path.splitext(a)[0] for a in audio_paths] == \
+               [os.path.splitext(f)[0] for f in feat_paths], \
+            "audio and feature trees must mirror each other by relative path"
 
         if not split and priority_substrings:
             # force the reference's pinned validation utterance(s) first (ref :358-376)

@@ -229,7 +229,9 @@ def train(
         )
 
         for batch in batch_iterator(trainset, h.batch_size, shuffle=True, seed=h.seed + epoch):
-            arrays = {k: jax.device_put(jnp.asarray(batch[k]), batch_sharding)
+            # device_put straight from numpy: one host->device transfer with
+            # the target sharding (jnp.asarray first would upload twice)
+            arrays = {k: jax.device_put(np.asarray(batch[k]), batch_sharding)
                       for k in ("feats", "audio", "mel_loss", "f0", "harmonics")}
             state, metrics = step_fn(state, arrays)
 

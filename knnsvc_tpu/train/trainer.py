@@ -164,8 +164,13 @@ def make_train_step(h: HiFiGANConfig, family: ModelFamily, opt_g: optax.Gradient
     def train_step(state: TrainState, batch):
         batch = dict(batch)
         mel_loss_f32 = batch["mel_loss"]
+        f0_f32 = batch["f0"]
         batch = cast(batch)
         batch["mel_loss"] = mel_loss_f32  # loss target stays fp32
+        # f0 stays fp32 too: bf16 quantizes Hz to a ~0.4% grid (~7 cents) and
+        # the phase accumulation is fp32 anyway — the cast would only inject
+        # a systematic pitch error into the excitation
+        batch["f0"] = f0_f32
         y = batch["audio"][:, None, :]                       # (B, 1, T)
 
         # ---- D step on detached generator output (ref :211-233)
