@@ -138,8 +138,14 @@ def run_config(name: str, precision: str, matcher: str, post_opt: str,
         times.append(time.time() - t0)
     audio_sec = wav.shape[-1] / SR
     rtf = audio_sec / min(times)
+    ts = sorted(times)
     print(f"# {name}: {min(times)*1000:.0f}ms / {audio_sec:.1f}s audio = "
           f"{rtf:.1f}x RT (pipelined)", file=sys.stderr)
+    # per-run spread: a congested-tunnel number should be self-diagnosing
+    # (median >> min means the box was busy, not the code slow)
+    print(f"# {name}: run spread ms min/med/max = {ts[0]*1000:.0f}/"
+          f"{ts[len(ts)//2]*1000:.0f}/{ts[-1]*1000:.0f}  "
+          f"all={[round(t*1000) for t in times]}", file=sys.stderr)
     sys.stderr.flush()
     return rtf
 
@@ -169,10 +175,12 @@ def main() -> int:
         print(f"# post_opt_0.2 mix RTF: {popt_rtf:.1f}x RT (target >=50x)",
               file=sys.stderr, flush=True)
 
-        if os.environ.get("KNNSVC_BENCH_PARITY") == "1":
+        # parity is the config the <=1e-3 waveform claim stands on: measure it
+        # every run (KNNSVC_BENCH_SKIP_PARITY=1 opts out for quick iterations)
+        if os.environ.get("KNNSVC_BENCH_SKIP_PARITY") != "1":
             parity_rtf = run_config("parity", "highest", "exact", "no_post_opt",
                                     src_path, ref_path)
-            print(f"# parity path RTF: {parity_rtf:.1f}x RT",
+            print(f"# parity path RTF: {parity_rtf:.1f}x RT (target >=50x)",
                   file=sys.stderr, flush=True)
     return 0
 

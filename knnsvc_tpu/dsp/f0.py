@@ -136,6 +136,17 @@ def yin_f0(
     return f0
 
 
+def _native_available() -> bool:
+    """Whether the native (C++) extractor can actually run here."""
+    try:
+        from knnsvc_tpu.dsp import harvest as native
+
+        native._load_library()  # probes (builds/loads) the shared object
+        return True
+    except (ImportError, OSError, AttributeError):
+        return False
+
+
 def get_f0(x: np.ndarray, sr: int, audio_path: str | None = None,
            hop: int = DEFAULT_HOP, use_sidecar: bool = True,
            write_sidecar: bool = True, method: str = "harvest") -> np.ndarray:
@@ -154,6 +165,12 @@ def get_f0(x: np.ndarray, sr: int, audio_path: str | None = None,
         cached = load_f0_sidecar(audio_path)
         if cached is None and method != "harvest":
             p = _sidecar_path(audio_path, method)
+            if os.path.exists(p):
+                cached = np.load(p).astype(np.float32)
+        if cached is None and method != "yin" and not _native_available():
+            # a previous call with this method fell back to YIN and cached
+            # under the fallback's name — reuse it instead of recomputing
+            p = _sidecar_path(audio_path, "yin")
             if os.path.exists(p):
                 cached = np.load(p).astype(np.float32)
         if cached is not None:

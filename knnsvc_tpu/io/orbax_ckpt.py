@@ -35,6 +35,11 @@ def restore_train_state(directory: str, template: Any,
         step = mngr.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no orbax checkpoints under {directory}")
-        payload = mngr.restore(step, args=ocp.args.StandardRestore(
-            {"state": template, "epoch": 0}))
-        return payload["state"], step, int(payload["epoch"])
+        try:
+            payload = mngr.restore(step, args=ocp.args.StandardRestore(
+                {"state": template, "epoch": 0}))
+            return payload["state"], step, int(payload["epoch"])
+        except (ValueError, KeyError, TypeError):
+            # legacy layout (pre-epoch): the checkpoint IS the bare state
+            state = mngr.restore(step, args=ocp.args.StandardRestore(template))
+            return state, step, 0

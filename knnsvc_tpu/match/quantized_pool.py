@@ -39,7 +39,7 @@ def quantize_pool(pool) -> QuantizedPool:
     scale = np.where(absmax > 0, absmax / 127.0, 1.0)
     q = np.clip(np.round(p / scale), -127, 127).astype(np.int8)
     norms = np.linalg.norm(q.astype(np.float32), axis=1)
-    inv = np.where(norms > 0, 1.0 / norms, 0.0).astype(np.float32)
+    inv = np.where(norms > 0, 1.0 / np.where(norms > 0, norms, 1.0), 0.0).astype(np.float32)
     return QuantizedPool(jnp.asarray(q), jnp.asarray(inv))
 
 

@@ -43,7 +43,12 @@ _VMEM_BUDGET_BYTES = 13 * 2 ** 20
 def pallas_concat_pair_ok(T: int, P: int, D: int, k: int) -> bool:
     if k != K:
         return False
-    rows = (T + P) * D * 4 + (T + P) * 128 * 4  # pools + padded scalar tracks
+    rows = (
+        (T + P) * D * 4              # source + target pools
+        + (T + P) * 128 * 4          # padded scalar tracks
+        + (LANES * C + LANES * K) * D * 4  # cand_mat/prev_mat scratch
+        + 2 * T * LANES * K * 4      # idx_ref + out_ref
+    )
     if rows > _VMEM_BUDGET_BYTES:
         return False
     try:

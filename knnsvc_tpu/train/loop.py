@@ -63,6 +63,7 @@ def train(
     compute_dtype: str | None = None,
     checkpoint_backend: str = "pickle",
     val_artifacts: int = 2,
+    ckpt_type: str | None = None,
 ) -> TrainState:
     """compute_dtype='bfloat16' enables the mixed-precision train step (the
     reference's fp16 AMP analogue, ref ddsp_train.py:153-155).
@@ -73,6 +74,11 @@ def train(
     (the reference's tensorboard audio/spectrogram artifacts,
     ref ddsp_train.py:320-336)."""
     family = ModelFamily.MIX if (h.with_harm if with_harm is None else with_harm) else ModelFamily.F0_ONLY
+    # checkpoint names carry the ckpt_type so the deploy path's
+    # scan_checkpoint(ckpt_dir, ckpt_type) finds them directly
+    # (ref ddsp_hubconf.py:85: cp_g = scan_checkpoint(local_ckpt_dir, ckpt_type))
+    if ckpt_type is None:
+        ckpt_type = "mix" if family == ModelFamily.MIX else "wavlm_only"
     os.makedirs(checkpoint_path, exist_ok=True)
     log_dir = Path(checkpoint_path) / "logs"
     os.makedirs(log_dir, exist_ok=True)
@@ -201,8 +207,10 @@ def train(
                 cur_best_ckpts = []
             else:
                 new_ckpts = [
-                    os.path.join(checkpoint_path, f"g_{steps:08d}.knnsvc.pkl"),
-                    os.path.join(checkpoint_path, f"do_{steps:08d}.knnsvc.pkl"),
+                    os.path.join(checkpoint_path,
+                                 f"g_{ckpt_type}_{steps:08d}.knnsvc.pkl"),
+                    os.path.join(checkpoint_path,
+                                 f"do_{ckpt_type}_{steps:08d}.knnsvc.pkl"),
                 ]
                 save_params(new_ckpts[0], {"generator": jax.device_get(state.g_params)})
                 save_params(new_ckpts[1], {
@@ -252,3 +260,36 @@ def train(
 
     log_file.close()
     return state
+
+
+def export_servable_checkpoint(checkpoint_path: str, h: HiFiGANConfig,
+                               with_harm: bool | None = None,
+                               ckpt_type: str | None = None,
+                               out_dir: str | None = None) -> tuple[str, str]:
+    """Materialize the best-val orbax TrainState as the reference-shaped
+    g_/do_ pickle pair, servable by `KnnSvc.load(out_dir, ckpt_type)` and
+    resumable by `train(resume_from=out_dir)` (the deploy artifact of
+    ref ddsp_train.py:352-367). Returns (g_path, do_path)."""
+    from knnsvc_tpu.io.orbax_ckpt import restore_train_state
+    from knnsvc_tpu.train.trainer import init_train_state
+
+    family = ModelFamily.MIX if (h.with_harm if with_harm is None else with_harm) else ModelFamily.F0_ONLY
+    if ckpt_type is None:
+        ckpt_type = "mix" if family == ModelFamily.MIX else "wavlm_only"
+    template = jax.device_get(init_train_state(jax.random.PRNGKey(0), h, family))
+    state, steps, epoch = restore_train_state(
+        os.path.join(checkpoint_path, "orbax"), template)
+    out_dir = checkpoint_path if out_dir is None else out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    g_path = os.path.join(out_dir, f"g_{ckpt_type}_{steps:08d}.knnsvc.pkl")
+    do_path = os.path.join(out_dir, f"do_{ckpt_type}_{steps:08d}.knnsvc.pkl")
+    save_params(g_path, {"generator": jax.device_get(state.g_params)})
+    save_params(do_path, {
+        "mpd": jax.device_get(state.mpd_params),
+        "msd": jax.device_get(state.msd_params),
+        "optim_g": jax.device_get(state.opt_g),
+        "optim_d": jax.device_get(state.opt_d),
+        "steps": steps,
+        "epoch": epoch,
+    })
+    return g_path, do_path
