@@ -97,19 +97,50 @@ class KnnSvc:
             h = HiFiGANConfig.from_json(config_path)
         family = model_family_for_ckpt_type(ckpt_type)
 
-        cp_g = scan_checkpoint(ckpt_dir, ckpt_type)
+        # generator scan: like the reference's scan_checkpoint(dir, ckpt_type)
+        # (ref ddsp_hubconf.py:85) but never picks the discriminator/optimizer
+        # (do_*) half of a trained pair
+        matches = [p for p in glob.glob(os.path.join(ckpt_dir, f"*{ckpt_type}*"))
+                   if not os.path.basename(p).startswith("do_")]
+        cp_g = sorted(matches)[-1] if matches else None
         if cp_g is None:
-            raise FileNotFoundError(f"no checkpoint matching *{ckpt_type}* in {ckpt_dir}")
-        if cp_g.endswith(".knnsvc.pkl"):
-            hifigan_params = load_params(cp_g)
+            orbax_dir = os.path.join(ckpt_dir, "orbax")
+            if os.path.isdir(orbax_dir):
+                # serve straight from an orbax training checkpoint: rebuild
+                # the TrainState template at this config and take g_params
+                import jax
+
+                from knnsvc_tpu.io.orbax_ckpt import restore_train_state
+                from knnsvc_tpu.train.trainer import init_train_state
+
+                template = jax.device_get(
+                    init_train_state(jax.random.PRNGKey(0), h, family))
+                state, _, _ = restore_train_state(orbax_dir, template)
+                hifigan_params = state.g_params
+            else:
+                raise FileNotFoundError(
+                    f"no checkpoint matching *{ckpt_type}* in {ckpt_dir}")
+        elif cp_g.endswith(".knnsvc.pkl"):
+            payload = load_params(cp_g)
+            # trained g_ checkpoints wrap the params as {'generator': ...}
+            # (same shape as the reference's torch g_*.pt, ref utils.py:41-46)
+            hifigan_params = payload.get("generator", payload) \
+                if isinstance(payload, dict) else payload
         else:
             hifigan_params = load_hifigan_checkpoint(cp_g, h, family)
 
         if wavlm_ckpt is None:
             wavlm_ckpt = os.path.join(ckpt_dir, "WavLM-Large.pt")
         if wavlm_ckpt.endswith(".knnsvc.pkl"):
-            wavlm_params = load_params(wavlm_ckpt)
-            wavlm_cfg = WavLMConfig()
+            payload = load_params(wavlm_ckpt)
+            if isinstance(payload, dict) and "model" in payload:
+                # {'cfg': dict, 'model': params} — the torch checkpoint's own
+                # shape (ref ddsp_hubconf.py:113-121), framework-native pickle
+                wavlm_params = payload["model"]
+                wavlm_cfg = WavLMConfig.from_dict(payload.get("cfg") or {})
+            else:
+                wavlm_params = payload
+                wavlm_cfg = WavLMConfig()
         else:
             wavlm_params, wavlm_cfg = load_wavlm_checkpoint(wavlm_ckpt)
         return cls(wavlm_params, wavlm_cfg, hifigan_params, h, ckpt_type)
@@ -277,10 +308,12 @@ class KnnSvc:
                      bucket_frames: int = 250) -> list[np.ndarray]:
         """Batched vocoding for bulk throughput: utterances padded to frame
         buckets and vocoded together (one device dispatch per bucket group
-        instead of per utterance). Outputs cropped to true lengths. Tail
-        samples within the generator's receptive field of the pad boundary
-        can differ slightly from per-utterance vocoding (production mode;
-        the reference vocodes one by one — ref ddsp_matcher.py:1106)."""
+        instead of per utterance). Outputs cropped to true lengths. Bucket
+        padding perturbs only samples within the generator's receptive field
+        of the pad boundary; bounded at <=1e-4 per sample vs per-utterance
+        vocoding (measured ~2.5e-5 worst case on random weights, exactly 0 at
+        bucket-multiple lengths — tests/test_vocode_tail.py). Production
+        mode; the reference vocodes one by one (ref ddsp_matcher.py:1106)."""
         order = np.argsort([len(f.out_feats_weighted) for f in features])
         results: list[np.ndarray | None] = [None] * len(features)
         groups: dict[int, list[int]] = {}
@@ -351,11 +384,11 @@ class KnnSvc:
         matcher, and the output is quantized at 16-bit depth on the device
         (inaudible vs the fp32 path; tested <= 2e-5 sample deviation)."""
         if fast:
-            if matcher not in ("exact", "approx"):
+            if matcher not in ("exact", "approx", "sharded"):
                 raise ValueError(
-                    f"--fast supports matcher 'exact' or 'approx', not "
-                    f"{matcher!r} (the int8/sharded pools are host-prepared; "
-                    "use the default path for them)")
+                    f"--fast supports matcher 'exact', 'approx' or 'sharded',"
+                    f" not {matcher!r} (the int8 pool is host-prepared; use "
+                    "the default path for it)")
             from knnsvc_tpu.match.pool import build_device_pool, load_utterance
 
             src_wav = load_utterance(src_wav_file, self.sr)
@@ -366,11 +399,20 @@ class KnnSvc:
             ref = build_device_pool(ref_wav, self.wavlm_params, self.wavlm_cfg,
                                     self.weighting, self.weighting, self.sr,
                                     f0_method="fast", audio_path=ref_wav_file)
+            sharded = None
+            if matcher == "sharded":
+                from knnsvc_tpu.match.pipeline import _default_pool_mesh
+                from knnsvc_tpu.parallel.sharded_match import shard_speaker_pool
+
+                sharded = shard_speaker_pool(
+                    ref.matching, ref.synth, ref.f0, ref.harmonics,
+                    mesh if mesh is not None else _default_pool_mesh())
             feats = match_utterance(
                 src.matching, src.f0, ref.matching, ref.synth, ref.f0,
                 ref.harmonics, ckpt_type=self.ckpt_type,
                 post_opt=PostOpt.parse(post_opt), topk=topk,
-                prioritize_f0=prioritize_f0, matcher=matcher, as_numpy=False)
+                prioritize_f0=prioritize_f0, matcher=matcher,
+                sharded=sharded, as_numpy=False)
             # device-side int16 quantization halves the waveform download
             # (the serving bottleneck on tunneled setups); 16-bit depth, the
             # same as the audible content of the reference's PCM_32 writes
@@ -466,35 +508,45 @@ class KnnSvc:
         """Device-resident bulk loop: per-utterance device pools, the fused
         one-dispatch match, bucketed vocode, int16 downloads. Semantics match
         the host loop except: fast native f0 (not Harvest), no VAD trim of
-        the ref pool, bucket-padded vocoding (tail samples within the
-        receptive field of the pad can differ — same note as vocode_batch)."""
-        from knnsvc_tpu.match.pipeline import match_utterance, subset_key
+        the ref pool, bucket-padded vocoding (deviation <=1e-4 per sample +
+        one int16 quantization step — bound tested in
+        tests/test_vocode_tail.py, same note as vocode_batch)."""
+        from knnsvc_tpu.match.pipeline import _default_pool_mesh, match_utterance, subset_key
         from knnsvc_tpu.match.pool import list_speaker_utterances
 
-        if matcher not in ("exact", "approx"):
+        if matcher not in ("exact", "approx", "sharded"):
             raise ValueError(
-                f"bulk_convert(fast=True) supports matcher 'exact' or "
-                f"'approx', not {matcher!r}")
+                f"bulk_convert(fast=True) supports matcher 'exact', 'approx' "
+                f"or 'sharded', not {matcher!r}")
         popt = PostOpt.parse(post_opt)
+        pool_mesh = _default_pool_mesh() if matcher == "sharded" else None
         tgt_pools: dict = {}
 
         def tgt_pool_for(tgt_spk):
             if tgt_spk not in tgt_pools:
                 if len(tgt_pools) >= max_cached_pools:
                     tgt_pools.pop(next(iter(tgt_pools)))
-                tgt_pools[tgt_spk] = self._device_pool_for_files(
+                pool = self._device_pool_for_files(
                     list_speaker_utterances(tgt_spk), duration_limit)
+                if matcher == "sharded":
+                    from knnsvc_tpu.parallel.sharded_match import shard_speaker_pool
+
+                    pool = shard_speaker_pool(pool.matching, pool.synth,
+                                              pool.f0, pool.harmonics, pool_mesh)
+                tgt_pools[tgt_spk] = pool
             return tgt_pools[tgt_spk]
 
         written: list[str] = []
+        # src utterance is the OUTER loop: exactly one source device pool is
+        # live at a time (an utterance-per-target inner loop would accumulate
+        # every utterance's pool in HBM for the whole speaker); target pools
+        # are the shared ones and ride the bounded tgt_pools cache
         for i, spk in enumerate(src_spks):
-            src_files = list_speaker_utterances(spk)
-            src_pools: dict = {}  # per-utterance device pools, built lazily once
-            for j, tgt_spk in enumerate(tgt_spks):
-                if same_root and i == j:
-                    continue
-                ref = None
-                for src_file in src_files:
+            for src_file in list_speaker_utterances(spk):
+                src = None  # built lazily on the first non-skipped target
+                for j, tgt_spk in enumerate(tgt_spks):
+                    if same_root and i == j:
+                        continue
                     out = os.path.join(
                         converted_audio_dir, os.path.basename(spk),
                         os.path.basename(str(src_file)).split(".")[0],
@@ -502,13 +554,12 @@ class KnnSvc:
                     )
                     if resume and os.path.exists(out):
                         continue
-                    if required is not None and                             subset_key(str(src_file), str(tgt_spk)) not in required:
+                    if (required is not None
+                            and subset_key(str(src_file), str(tgt_spk)) not in required):
                         continue
-                    if ref is None:
-                        ref = tgt_pool_for(tgt_spk)
-                    if src_file not in src_pools:
-                        src_pools[src_file] = self._device_pool_for_files([src_file])
-                    src = src_pools[src_file]
+                    ref = tgt_pool_for(tgt_spk)
+                    if src is None:
+                        src = self._device_pool_for_files([src_file])
                     # bucket-pad the query so the fused match (minutes of
                     # compile for the post_opt core) compiles once per frame
                     # BUCKET, not once per utterance length: features pad by
@@ -525,11 +576,18 @@ class KnnSvc:
                             [src.f0, jnp.zeros(Tb - T, src.f0.dtype)], 0)
                     else:
                         m, qf0 = src.matching, src.f0
-                    feats = match_utterance(
-                        m, qf0, ref.matching, ref.synth, ref.f0,
-                        ref.harmonics, ckpt_type=self.ckpt_type, post_opt=popt,
-                        topk=topk, prioritize_f0=prioritize_f0, matcher=matcher,
-                        as_numpy=False)
+                    if matcher == "sharded":
+                        feats = match_utterance(
+                            m, qf0, None, None, None, None,
+                            ckpt_type=self.ckpt_type, post_opt=popt,
+                            topk=topk, prioritize_f0=prioritize_f0,
+                            matcher="sharded", sharded=ref, as_numpy=False)
+                    else:
+                        feats = match_utterance(
+                            m, qf0, ref.matching, ref.synth, ref.f0,
+                            ref.harmonics, ckpt_type=self.ckpt_type, post_opt=popt,
+                            topk=topk, prioritize_f0=prioritize_f0, matcher=matcher,
+                            as_numpy=False)
                     if Tb != T:
                         harm = feats.harmonics_out_feats_weighted
                         feats = ConversionFeatures(

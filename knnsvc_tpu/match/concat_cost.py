@@ -35,42 +35,43 @@ def _cos_dist_rows(a: jax.Array, b: jax.Array) -> jax.Array:
     return 1.0 - (a @ b.T) / (an * bn.T)
 
 
-@functools.partial(jax.jit, static_argnames=("concat_weight",))
-def knn_with_concat_cost(
+def concat_cost_core(
+    gather_rows,                         # (..,) int32 global ids -> (.., D) pool rows
     target_feature_indices: jax.Array,   # (T, k) int32
     src_elements: jax.Array,             # (T, D)
-    tgt_elements: jax.Array,             # (P, D)
+    pool_limit,                          # last valid pool row + 1 (int or traced)
     shifted_src_f0: jax.Array | None = None,  # (T,) Hz — pitched mode
-    tgt_f0: jax.Array | None = None,          # (P,) Hz
+    tgt_log_f0: jax.Array | None = None,      # (P,) log2(Hz + 1e-5), pitched mode
     concat_weight: float = 0.2,
 ) -> jax.Array:
-    """Returns reselected indices (T, k)."""
+    """Gather-parameterized greedy scan: the pool is touched ONLY through
+    `gather_rows`, so the same core serves a device-resident pool (plain
+    indexing) and a mesh-sharded pool (masked local gather + psum — see
+    parallel/sharded_match.py). The previous frame's selected rows ride the
+    scan carry, so each step gathers exactly the 2k candidate rows."""
     T, k = target_feature_indices.shape
-    P = tgt_elements.shape[0]
     pitched = shifted_src_f0 is not None
 
     if pitched:
-        assert tgt_f0 is not None
+        assert tgt_log_f0 is not None
         src_log_f0 = jnp.log2(shifted_src_f0 + 1e-5)
-        tgt_log_f0 = jnp.log2(tgt_f0 + 1e-5)
     else:
         src_log_f0 = jnp.zeros((T,))
-        tgt_log_f0 = jnp.zeros((P,))
 
     # per-frame source continuity baseline: 2 * d(src[i-1], src[i])
     src_n = src_elements / jnp.linalg.norm(src_elements, axis=-1, keepdims=True)
     baselines = 2.0 * (1.0 - jnp.sum(src_n[:-1] * src_n[1:], axis=-1))  # (T-1,)
 
     def body(carry, inputs):
-        prev_idx, weight = carry                     # (k,), scalar
+        prev_idx, prev_feats, weight = carry         # (k,), (k, D), scalar
         own_cand, src_vec, baseline, src_lf0 = inputs
 
-        extra = jnp.minimum(prev_idx + 1, P - 1)
+        extra = jnp.minimum(prev_idx + 1, pool_limit - 1)
         cand = jnp.concatenate([own_cand, extra])    # (2k,)
-        cand_feats = tgt_elements[cand]              # (2k, D)
+        cand_feats = gather_rows(cand)               # (2k, D)
 
         matching_cost = _cos_dist_rows(src_vec[None], cand_feats)[0]        # (2k,)
-        concat_cost = _cos_dist_rows(tgt_elements[prev_idx], cand_feats)    # (k, 2k)
+        concat_cost = _cos_dist_rows(prev_feats, cand_feats)                # (k, 2k)
 
         if pitched:
             pitch_cost = jnp.abs(tgt_log_f0[cand] - src_lf0)                # (2k,)
@@ -88,9 +89,10 @@ def knn_with_concat_cost(
 
         neg_vals, pick = jax.lax.top_k(-total, k)
         new_idx = cand[pick]
-        return (new_idx, weight), new_idx
+        return (new_idx, cand_feats[pick], weight), new_idx
 
-    init = (target_feature_indices[0], jnp.float32(concat_weight))
+    init = (target_feature_indices[0], gather_rows(target_feature_indices[0]),
+            jnp.float32(concat_weight))
     xs = (
         target_feature_indices[1:],
         src_elements[1:],
@@ -101,6 +103,83 @@ def knn_with_concat_cost(
     # itself (frame t needs frame t-1's picks) is unchanged
     _, rest = jax.lax.scan(body, init, xs, unroll=8)
     return jnp.concatenate([target_feature_indices[:1], rest], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("concat_weight",))
+def knn_with_concat_cost(
+    target_feature_indices: jax.Array,   # (T, k) int32
+    src_elements: jax.Array,             # (T, D)
+    tgt_elements: jax.Array,             # (P, D)
+    shifted_src_f0: jax.Array | None = None,  # (T,) Hz — pitched mode
+    tgt_f0: jax.Array | None = None,          # (P,) Hz
+    concat_weight: float = 0.2,
+) -> jax.Array:
+    """Returns reselected indices (T, k)."""
+    tgt_log_f0 = None if tgt_f0 is None else jnp.log2(tgt_f0 + 1e-5)
+    return concat_cost_core(
+        lambda idx: tgt_elements[idx], target_feature_indices, src_elements,
+        tgt_elements.shape[0], shifted_src_f0, tgt_log_f0, concat_weight)
+
+
+def concat_cost_pair_core(
+    gather_rows,                # (..,) int32 global ids -> (.., D) pool rows
+    idx_unpitched: jax.Array,   # (T, k) int32 — top-k of the raw kNN
+    idx_pitched: jax.Array,     # (T, k) int32 — f0-prioritized selection
+    src_elements: jax.Array,    # (T, D)
+    pool_limit,                 # last valid pool row + 1 (int or traced)
+    shifted_src_f0: jax.Array,  # (T,) Hz
+    tgt_log_f0: jax.Array,      # (P,) log2(Hz + 1e-5)
+    concat_weight: float = 0.2,
+) -> tuple[jax.Array, jax.Array]:
+    """Both concat-cost reselections of the post_opt pipeline in ONE scan,
+    gather-parameterized like `concat_cost_core` (the pool is read only via
+    `gather_rows`; previous picks' rows ride the carry)."""
+    T, k = idx_unpitched.shape
+
+    src_log_f0 = jnp.log2(shifted_src_f0 + 1e-5)
+
+    src_n = src_elements / jnp.linalg.norm(src_elements, axis=-1, keepdims=True)
+    baselines = 2.0 * (1.0 - jnp.sum(src_n[:-1] * src_n[1:], axis=-1))  # (T-1,)
+
+    # lane 0 = unpitched, lane 1 = pitched (sticky weight carries per lane)
+    def body(carry, inputs):
+        prev_idx, prev_feats, p_weight = carry         # (2, k), (2, k, D), scalar
+        own_cand, src_vec, baseline, src_lf0 = inputs  # (2, k), (D,), (), ()
+
+        extra = jnp.minimum(prev_idx + 1, pool_limit - 1)
+        cand = jnp.concatenate([own_cand, extra], axis=1)       # (2, 2k)
+        cand_feats = gather_rows(cand)                           # (2, 2k, D)
+
+        cn = jnp.linalg.norm(cand_feats, axis=-1)                # (2, 2k)
+        sv = src_vec / jnp.linalg.norm(src_vec)
+        matching_cost = 1.0 - (cand_feats @ sv) / cn             # (2, 2k)
+        pn = jnp.linalg.norm(prev_feats, axis=-1)                # (2, k)
+        cc = 1.0 - jnp.einsum("lkd,lcd->lkc", prev_feats, cand_feats) / (
+            pn[:, :, None] * cn[:, None, :])                     # (2, k, 2k)
+
+        # lane 0: unpitched sharpening transform
+        cc_u = jnp.where(cc[0] > baseline, 1.5 * cc[0] - baseline, cc[0])
+        total_u = concat_weight * torch_median(cc_u, axis=0) + matching_cost[0]
+
+        # lane 1: pitched zeroing + sticky weight + |dlog2 f0|
+        low = baseline < 0.08
+        cc_p = jnp.where(low & (cc[1] < 5.0 * baseline), 0.0, cc[1])
+        p_weight = jnp.where(low, p_weight, 0.0)
+        pitch_cost = jnp.abs(tgt_log_f0[cand[1]] - src_lf0)
+        total_p = p_weight * torch_median(cc_p, axis=0) + matching_cost[1] + pitch_cost
+
+        total = jnp.stack([total_u, total_p])                    # (2, 2k)
+        _, pick = jax.lax.top_k(-total, k)                       # (2, k)
+        new_idx = jnp.take_along_axis(cand, pick, axis=1)
+        new_feats = jnp.take_along_axis(cand_feats, pick[..., None], axis=1)
+        return (new_idx, new_feats, p_weight), new_idx
+
+    stacked = jnp.stack([idx_unpitched, idx_pitched], axis=1)    # (T, 2, k)
+    init = (stacked[0], gather_rows(stacked[0]), jnp.float32(concat_weight))
+    xs = (stacked[1:], src_elements[1:], baselines, src_log_f0[1:])
+    _, rest = jax.lax.scan(body, init, xs, unroll=8)
+    out = jnp.concatenate([stacked[:1], rest], axis=0)           # (T, 2, k)
+    return out[:, 0], out[:, 1]
 
 
 @functools.partial(jax.jit, static_argnames=("concat_weight",))
@@ -121,51 +200,7 @@ def knn_with_concat_cost_pair(
     is the pipeline's only serial dependency and its cost is per-step
     overhead, not FLOPs, so lane-stacking the two passes halves wall time.
     Bit-identical to two `knn_with_concat_cost` calls (tested)."""
-    T, k = idx_unpitched.shape
-    P = tgt_elements.shape[0]
-
-    src_log_f0 = jnp.log2(shifted_src_f0 + 1e-5)
-    tgt_log_f0 = jnp.log2(tgt_f0 + 1e-5)
-
-    src_n = src_elements / jnp.linalg.norm(src_elements, axis=-1, keepdims=True)
-    baselines = 2.0 * (1.0 - jnp.sum(src_n[:-1] * src_n[1:], axis=-1))  # (T-1,)
-
-    # lane 0 = unpitched, lane 1 = pitched (sticky weight carries per lane)
-    def body(carry, inputs):
-        prev_idx, p_weight = carry                     # (2, k), scalar
-        own_cand, src_vec, baseline, src_lf0 = inputs  # (2, k), (D,), (), ()
-
-        extra = jnp.minimum(prev_idx + 1, P - 1)
-        cand = jnp.concatenate([own_cand, extra], axis=1)       # (2, 2k)
-        cand_feats = tgt_elements[cand]                          # (2, 2k, D)
-
-        cn = jnp.linalg.norm(cand_feats, axis=-1)                # (2, 2k)
-        sv = src_vec / jnp.linalg.norm(src_vec)
-        matching_cost = 1.0 - (cand_feats @ sv) / cn             # (2, 2k)
-        prev_feats = tgt_elements[prev_idx]                      # (2, k, D)
-        pn = jnp.linalg.norm(prev_feats, axis=-1)                # (2, k)
-        cc = 1.0 - jnp.einsum("lkd,lcd->lkc", prev_feats, cand_feats) / (
-            pn[:, :, None] * cn[:, None, :])                     # (2, k, 2k)
-
-        # lane 0: unpitched sharpening transform
-        cc_u = jnp.where(cc[0] > baseline, 1.5 * cc[0] - baseline, cc[0])
-        total_u = concat_weight * torch_median(cc_u, axis=0) + matching_cost[0]
-
-        # lane 1: pitched zeroing + sticky weight + |dlog2 f0|
-        low = baseline < 0.08
-        cc_p = jnp.where(low & (cc[1] < 5.0 * baseline), 0.0, cc[1])
-        p_weight = jnp.where(low, p_weight, 0.0)
-        pitch_cost = jnp.abs(tgt_log_f0[cand[1]] - src_lf0)
-        total_p = p_weight * torch_median(cc_p, axis=0) + matching_cost[1] + pitch_cost
-
-        total = jnp.stack([total_u, total_p])                    # (2, 2k)
-        _, pick = jax.lax.top_k(-total, k)                       # (2, k)
-        new_idx = jnp.take_along_axis(cand, pick, axis=1)
-        return (new_idx, p_weight), new_idx
-
-    stacked = jnp.stack([idx_unpitched, idx_pitched], axis=1)    # (T, 2, k)
-    init = (stacked[0], jnp.float32(concat_weight))
-    xs = (stacked[1:], src_elements[1:], baselines, src_log_f0[1:])
-    _, rest = jax.lax.scan(body, init, xs, unroll=8)
-    out = jnp.concatenate([stacked[:1], rest], axis=0)           # (T, 2, k)
-    return out[:, 0], out[:, 1]
+    return concat_cost_pair_core(
+        lambda idx: tgt_elements[idx], idx_unpitched, idx_pitched,
+        src_elements, tgt_elements.shape[0], shifted_src_f0,
+        jnp.log2(tgt_f0 + 1e-5), concat_weight)

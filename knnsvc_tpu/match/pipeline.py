@@ -122,28 +122,32 @@ def _match_core_post_opt(q, matching, synth, pool_f0, harmonics, qf0,
     return out, shifted, harm
 
 
-# Per-ref-pool device-side preparation memo: the SpeakerPool concat
-# properties re-run np.concatenate on every access and quantize_pool is an
-# O(P*D) host pass + transfer; bulk conversion shares one target pool across
-# every source speaker, so prepare once. Entries hold a strong reference to
-# the pool object, so id() keys cannot be recycled while cached.
-_DEVICE_POOL_CACHE: dict[int, tuple] = {}
-_DEVICE_POOL_MAX = 2
-
-
 def _prepare_ref_pool(ref_pool: SpeakerPool, need_fp32_matching: bool,
                       need_harmonics: bool, need_quantized: bool,
                       mesh=None) -> dict:
-    key = id(ref_pool)
-    entry = _DEVICE_POOL_CACHE.get(key)
-    if entry is None or entry[0] is not ref_pool:
-        if len(_DEVICE_POOL_CACHE) >= _DEVICE_POOL_MAX:
-            _DEVICE_POOL_CACHE.pop(next(iter(_DEVICE_POOL_CACHE)))
-        entry = (ref_pool, {})
-        _DEVICE_POOL_CACHE[key] = entry
-    prep = entry[1]
+    # Device-side preparation memo, stored ON the pool object: the
+    # SpeakerPool concat properties re-run np.concatenate on every access and
+    # quantize_pool is an O(P*D) host pass + transfer; bulk conversion shares
+    # one target pool across every source speaker, so prepare once. Living on
+    # the pool means the prep's lifetime (and HBM) tracks the caller's own
+    # pool cache exactly — when hub.bulk_convert evicts a host pool, its
+    # device arrays are freed with it (no second, differently-sized cache).
+    prep = ref_pool.__dict__.setdefault("_device_prep", {})
     if "host_matching" not in prep:
         prep["host_matching"] = ref_pool.matching
+    if mesh is not None:
+        # sharded serving: matching/synth/harmonics live at ~P/n_shards rows
+        # per device; NO dense replicated copy of any pool array is created
+        # (that replication was exactly what erased the HBM scaling)
+        if prep.get("mesh") is not mesh:
+            from knnsvc_tpu.parallel.sharded_match import shard_speaker_pool
+
+            prep["mesh"] = mesh
+            prep["sharded"] = shard_speaker_pool(
+                prep["host_matching"], ref_pool.synth, ref_pool.f0,
+                ref_pool.harmonics if need_harmonics else None, mesh)
+        return prep
+    if "synth" not in prep:
         prep["synth"] = jnp.asarray(ref_pool.synth)
         prep["f0"] = jnp.asarray(ref_pool.f0)
     if need_fp32_matching and "matching" not in prep:
@@ -152,11 +156,6 @@ def _prepare_ref_pool(ref_pool: SpeakerPool, need_fp32_matching: bool,
         prep["harmonics"] = jnp.asarray(ref_pool.harmonics)
     if need_quantized and "quantized" not in prep:
         prep["quantized"] = quantize_pool(prep["host_matching"])
-    if mesh is not None and prep.get("mesh") is not mesh:
-        from knnsvc_tpu.parallel.sharded_knn import shard_pool
-
-        prep["mesh"] = mesh
-        prep["sharded"], prep["sharded_len"] = shard_pool(prep["host_matching"], mesh)
     return prep
 
 
@@ -199,26 +198,46 @@ def match_utterance(
     prioritize_f0: bool = True,
     matcher: str = "exact",
     quantized: QuantizedPool | None = None,
-    mesh=None,
-    sharded_pool=None,
-    sharded_len=None,
+    sharded=None,
     as_numpy: bool = True,
 ) -> ConversionFeatures:
     """Convert one utterance against a prepared (concatenated) target pool.
 
     matcher: 'exact' (reference-parity top-k), 'approx' (TPU aggregated
     top-k, ~4x faster at hours-scale pools), 'int8' (quantized pool matmul,
-    ~8x, pass `quantized`), 'sharded' (pool sharded over a Mesh 'pool' axis
-    with a local-top-k + all_gather merge — pass `mesh`/`sharded_pool`/
-    `sharded_len`; the distributed generalization of the reference's chunk
-    loops, ref ddsp_prematch_dataset.py:1195-1210). Everything downstream of
-    the candidate search (concat cost, weights, gathers) stays fp32.
+    ~8x, pass `quantized`), 'sharded' (the WHOLE match fused over a Mesh
+    'pool' axis with the pool arrays sharded at P/n_shards rows per device —
+    pass `sharded` (a ShardedPool); the distributed generalization of the
+    reference's chunk loops, ref ddsp_prematch_dataset.py:1195-1210).
+    Everything downstream of the candidate search (concat cost, weights,
+    gathers) stays fp32.
 
     as_numpy=False keeps the outputs on the device (the zero-copy serving
     path: results feed the vocoder without a round trip to the host)."""
     assert prioritize_f0, "prioritize_f0 is mandatory on the reference live path (ref :1375)"
 
     q = jnp.asarray(query_seq)
+
+    if matcher == "sharded":
+        # fused one-dispatch sharded path: kNN + shift + rerank + concat +
+        # smoothness + gathers inside one jitted shard_map; post_opt composes
+        # without replicating any pool array
+        from knnsvc_tpu.parallel.sharded_match import sharded_match_core
+
+        assert sharded is not None, "matcher='sharded' needs a ShardedPool"
+        use_harm = uses_harmonics(ckpt_type)
+        out, shifted, harm = sharded_match_core(
+            q, jnp.asarray(query_f0), sharded.matching, sharded.synth,
+            sharded.harmonics if use_harm else sharded.synth, sharded.f0,
+            sharded.true_len, mesh=sharded.mesh, topk=topk,
+            use_harmonics=use_harm, concat_weight=post_opt.concat_weight,
+            opt_enabled=post_opt.enabled)
+        if not as_numpy:
+            return ConversionFeatures(out, shifted, harm)
+        return ConversionFeatures(
+            np.asarray(out, dtype=np.float32),
+            np.asarray(shifted, dtype=np.float32),
+            None if harm is None else np.asarray(harm, dtype=np.float32))
 
     # fused fast path: the whole match — no_post_opt AND post_opt — is one
     # compiled dispatch for the exact/approx matchers
@@ -248,12 +267,6 @@ def match_utterance(
     if matcher == "int8":
         assert quantized is not None
         nearest_nbrs, _ = knn_topk_quantized(q, quantized, k=KNN_CANDIDATES)
-    elif matcher == "sharded":
-        from knnsvc_tpu.parallel.sharded_knn import sharded_knn_topk
-
-        assert mesh is not None and sharded_pool is not None and sharded_len is not None
-        nearest_nbrs, _ = sharded_knn_topk(q, sharded_pool, jnp.int32(sharded_len),
-                                           mesh, k=KNN_CANDIDATES)
     else:
         assert matching_list is not None
         nearest_nbrs, _ = knn_topk(q, matching_list, k=KNN_CANDIDATES,
@@ -344,15 +357,17 @@ def match_at_inference_time(
         mesh = _default_pool_mesh()
 
     # the fp32 matching pool only goes to the device (replicated) when
-    # something reads it (int8/sharded matchers + disabled concat cost never
-    # do — that is the HBM saving the quantized/sharded pools exist for)
-    need_fp32_matching = matcher not in ("int8", "sharded") or popt.concat_weight != -1.0
+    # something reads it. The sharded matcher NEVER replicates it — its
+    # concat cost gathers candidate rows across shards; int8 still needs the
+    # dense pool for the concat cost's row reads
+    need_fp32_matching = (matcher not in ("int8", "sharded")
+                          or (matcher == "int8" and popt.concat_weight != -1.0))
     prep = _prepare_ref_pool(ref_pool, need_fp32_matching,
                              uses_harmonics(ckpt_type), matcher == "int8",
                              mesh=mesh if matcher == "sharded" else None)
     matching_list = prep.get("matching")
-    synth_list = prep["synth"]
-    matching_f0 = prep["f0"]
+    synth_list = prep.get("synth")
+    matching_f0 = prep.get("f0")
     harmonics_list = prep.get("harmonics")
     quantized = prep.get("quantized")
 
@@ -363,8 +378,6 @@ def match_at_inference_time(
         results[item] = match_utterance(
             pools.matching, pools.f0, matching_list, synth_list, matching_f0,
             harmonics_list, ckpt_type, popt, topk=topk, prioritize_f0=prioritize_f0,
-            matcher=matcher, quantized=quantized,
-            mesh=prep.get("mesh"), sharded_pool=prep.get("sharded"),
-            sharded_len=prep.get("sharded_len"),
+            matcher=matcher, quantized=quantized, sharded=prep.get("sharded"),
         )
     return results

@@ -113,9 +113,25 @@ def optimize_smoothness_weights(
     from unroll=1 in the last float bits (XLA fuses the unrolled body
     differently)."""
     surrounding = _gather_surrounding(indices, synth_set, amp_ratio)
+    return optimize_smoothness_from_surrounding(
+        surrounding, scale, max_steps=max_steps, return_steps=return_steps,
+        unroll=unroll)
+
+
+def optimize_smoothness_from_surrounding(
+    surrounding: jax.Array,              # (3, T, k, D) pre-gathered features
+    scale: float,
+    max_steps: int = _MAX_STEPS,
+    return_steps: bool = False,
+    unroll: int = 8,
+) -> jax.Array:
+    """The Adam loop on pre-gathered surrounding features. Split out so a
+    mesh-sharded synth pool can gather the (3, T, k) candidate rows across
+    shards once (parallel/sharded_match.py) and reuse the identical
+    optimizer; `optimize_smoothness_weights` == dense gather + this."""
     loss_and_grad = jax.value_and_grad(_loss_fn)
 
-    w0 = jnp.zeros(indices.shape, dtype=jnp.float32)
+    w0 = jnp.zeros(surrounding.shape[1:3], dtype=jnp.float32)
     init = _OptState(
         t=jnp.int32(0),
         w=w0, m=jnp.zeros_like(w0), v=jnp.zeros_like(w0), vhat=jnp.zeros_like(w0),

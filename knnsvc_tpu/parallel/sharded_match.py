@@ -1,0 +1,181 @@
+"""Fused mesh-sharded conversion core: the WHOLE match (distributed kNN +
+f0 register shift + f0-priority re-rank + concat-cost reselection +
+smoothness optimization + output gathers) as ONE compiled dispatch with the
+target pool sharded over the Mesh 'pool' axis.
+
+HBM honesty: the matching, synth and harmonics pools (the O(pool-frames)
+arrays) each live at ~P/n_shards rows per device; nothing downstream
+re-replicates them. The concat cost and the output/smoothness stages read
+pool rows exclusively through a masked local gather + psum — each step/stage
+moves only the <= T x (k+topk) candidate rows over ICI, never the pool.
+(The f0 track, (P,) floats, is replicated: it is 1/1024th of one pool and
+the pitch costs index it per candidate.)
+
+This is the distributed generalization of the reference's single-GPU
+memory-bounding chunk loops (ref ddsp_prematch_dataset.py:1195-1210,
+lib_ongaku_test.py:154-173); the reference has no multi-device analogue.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from knnsvc_tpu.match.concat_cost import concat_cost_core, concat_cost_pair_core
+from knnsvc_tpu.match.distance import cosine_distance
+from knnsvc_tpu.match.f0_logic import (
+    shift_f0_to_target_register,
+    sort_by_f0_compatibility,
+)
+from knnsvc_tpu.match.smoothness import (
+    HARMONICS_LOSS_SCALE,
+    WAVLM_LOSS_SCALE,
+    optimize_smoothness_from_surrounding,
+)
+
+
+@dataclasses.dataclass
+class ShardedPool:
+    """A speaker pool laid out for the 'pool' mesh axis: big per-frame arrays
+    sharded (padded to a shard multiple), the tiny f0 track replicated."""
+
+    matching: jax.Array             # (P_pad, D) sharded on 'pool'
+    synth: jax.Array                # (P_pad, D) sharded on 'pool'
+    harmonics: jax.Array | None     # (P_pad, 49) sharded on 'pool'
+    f0: jax.Array                   # (P,) replicated, unpadded
+    true_len: int                   # unpadded pool length
+    mesh: Mesh
+
+
+def shard_speaker_pool(matching, synth, f0, harmonics, mesh: Mesh) -> ShardedPool:
+    """Pad the pool arrays' frame axis to a 'pool'-shard multiple and place
+    them sharded; replicate the f0 track."""
+    n_shards = mesh.shape["pool"]
+    p_len = matching.shape[0]
+    pad = (-p_len) % n_shards
+    sharded = NamedSharding(mesh, P("pool", None))
+
+    def put(a):
+        return jax.device_put(jnp.pad(jnp.asarray(a), ((0, pad), (0, 0))), sharded)
+
+    return ShardedPool(
+        matching=put(matching),
+        synth=put(synth),
+        harmonics=None if harmonics is None else put(harmonics),
+        f0=jax.device_put(jnp.asarray(f0), NamedSharding(mesh, P())),
+        true_len=p_len,
+        mesh=mesh,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "topk", "k", "use_harmonics", "concat_weight",
+                     "opt_enabled", "max_opt_steps"),
+)
+def sharded_match_core(
+    q: jax.Array,               # (T, D) query features, replicated
+    qf0: jax.Array,             # (T,) query f0, replicated
+    matching_sh: jax.Array,     # (P_pad, D) sharded on 'pool'
+    synth_sh: jax.Array,        # (P_pad, D) sharded on 'pool'
+    harm_sh: jax.Array,         # (P_pad, H) sharded (pass synth_sh when unused)
+    pool_f0: jax.Array,         # (P,) replicated, unpadded
+    true_len,                   # unpadded pool length (traced scalar ok)
+    *,
+    mesh: Mesh,
+    topk: int,
+    use_harmonics: bool,
+    concat_weight: float,       # -1.0 = concat reselection off
+    opt_enabled: bool,
+    k: int = 32,
+    max_opt_steps: int = 100_000,
+):
+    """Returns (out_feats (T, D), shifted_f0 (T,), harmonics (T, H) | None) —
+    the same selection semantics as the dense `_match_core`/
+    `_match_core_post_opt` (pipeline.py), pool sharded, one dispatch."""
+    n_shards = mesh.shape["pool"]
+    p_pad = matching_sh.shape[0]
+    shard_len = p_pad // n_shards
+    k_local = min(k, shard_len)   # tiny shards contribute fewer candidates
+    assert n_shards * k_local >= k, (n_shards, shard_len, k)
+    true_len = jnp.asarray(true_len, dtype=jnp.int32)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P("pool", None), P("pool", None), P("pool", None),
+                  P(), P()),
+        out_specs=(P(), P(), P()),
+        # every shard computes identical replicated results past the merge;
+        # the static varying-axes check cannot prove that
+        check_vma=False,
+    )
+    def run(q, qf0, pool_l, synth_l, harm_l, f0_full, tlen):
+        shard_id = jax.lax.axis_index("pool")
+        offset = shard_id * shard_len
+
+        def gather(local, idx):
+            """Rows of a sharded pool at global ids: masked local gather +
+            psum — only the requested rows cross ICI."""
+            li = jnp.clip(idx - offset, 0, shard_len - 1)
+            rows = local[li]
+            mask = (idx >= offset) & (idx < offset + shard_len)
+            return jax.lax.psum(jnp.where(mask[..., None], rows, 0), "pool")
+
+        # ---- distributed kNN: local distances + top-k, all_gather merge ----
+        dists = cosine_distance(q, pool_l)                       # (T, shard_len)
+        local_ids = jnp.arange(shard_len) + offset
+        dists = jnp.where((local_ids < tlen)[None, :], dists, jnp.inf)
+        neg_vals, local_top = jax.lax.top_k(-dists, k_local)     # (T, k_local)
+        global_idx = local_ids[local_top]
+        all_vals = jax.lax.all_gather(-neg_vals, "pool", axis=0)  # (S, T, k_l)
+        all_idx = jax.lax.all_gather(global_idx, "pool", axis=0)
+        all_vals = jnp.moveaxis(all_vals, 0, 1).reshape(q.shape[0], -1)
+        all_idx = jnp.moveaxis(all_idx, 0, 1).reshape(q.shape[0], -1)
+        _, pick = jax.lax.top_k(-all_vals, k)
+        nearest_nbrs = jnp.take_along_axis(all_idx, pick, axis=1).astype(jnp.int32)
+
+        # ---- replicated downstream (identical on every shard) ----
+        shifted = shift_f0_to_target_register(qf0, f0_full)
+        target_idx = nearest_nbrs[:, :topk]
+        pitched_idx = None
+        if use_harmonics:
+            pitched_idx = sort_by_f0_compatibility(
+                shifted, f0_full, nearest_nbrs)[:, :topk]
+
+        if concat_weight != -1.0:
+            gather_pool = functools.partial(gather, pool_l)
+            if use_harmonics:
+                target_idx, pitched_idx = concat_cost_pair_core(
+                    gather_pool, target_idx, pitched_idx, q, tlen,
+                    shifted, jnp.log2(f0_full + 1e-5),
+                    concat_weight=concat_weight)
+            else:
+                target_idx = concat_cost_core(
+                    gather_pool, target_idx, q, tlen,
+                    concat_weight=concat_weight)
+
+        def weighted_output(local, idx, scale):
+            if opt_enabled:
+                offs = jnp.array([-1, 0, 1])
+                sidx = jnp.clip(idx[None] + offs[:, None, None], 0, tlen - 1)
+                surr = gather(local, sidx)                   # (3, T, k, D)
+                w = optimize_smoothness_from_surrounding(
+                    surr, scale=scale, max_steps=max_opt_steps)
+                return jnp.sum(surr[1] * w[..., None], axis=1)
+            return jnp.mean(gather(local, idx), axis=1)
+
+        out = weighted_output(synth_l, target_idx, WAVLM_LOSS_SCALE)
+        if use_harmonics:
+            harm = weighted_output(harm_l, pitched_idx, HARMONICS_LOSS_SCALE)
+        else:
+            harm = jnp.zeros((q.shape[0], 1), dtype=q.dtype)
+        return out, shifted, harm
+
+    out, shifted, harm = run(q, qf0, matching_sh, synth_sh, harm_sh,
+                             pool_f0, true_len)
+    return out, shifted, (harm if use_harmonics else None)

