@@ -602,6 +602,143 @@ class KnnSvc:
                     written.append(out)
         return written
 
+    def _bulk_convert_fast_batched(self, src_spks, tgt_spks, same_root,
+                                   converted_audio_dir, topk, prioritize_f0,
+                                   post_opt, required, duration_limit,
+                                   tgt_loudness_db, resume, matcher,
+                                   max_cached_pools, data_batch,
+                                   mesh) -> list[str]:
+        """Data-axis bulk serving: conversions grouped by (target speaker,
+        frame bucket) and run `data_batch` at a time through ONE vmapped
+        fused-match dispatch + ONE batched-vocode dispatch, the batch axis
+        sharded over the mesh 'data' axis when a mesh is given — an n-chip
+        mesh converts ~n x the utterances per dispatch. Semantics match
+        `_bulk_convert_fast` per utterance (same padding, same bucketing,
+        same int16 download); the reference converts strictly one utterance
+        at a time (ref ddsp_matcher.py:1106 — no multi-device analogue)."""
+        from knnsvc_tpu.match.pipeline import match_utterances_batched, subset_key
+        from knnsvc_tpu.match.pool import list_speaker_utterances
+
+        if matcher not in ("exact", "approx"):
+            raise ValueError(
+                "data-axis bulk serving supports matcher 'exact'/'approx' "
+                f"(pool replicated, batch sharded), not {matcher!r}")
+        popt = PostOpt.parse(post_opt)
+        replicate = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            import jax
+
+            rep = NamedSharding(mesh, P())
+            replicate = lambda tree: jax.device_put(tree, rep)
+
+        # enumerate surviving (src utterance, target speaker) jobs
+        jobs: list[tuple] = []
+        for i, spk in enumerate(src_spks):
+            for src_file in list_speaker_utterances(spk):
+                for j, tgt_spk in enumerate(tgt_spks):
+                    if same_root and i == j:
+                        continue
+                    out = os.path.join(
+                        converted_audio_dir, os.path.basename(spk),
+                        os.path.basename(str(src_file)).split(".")[0],
+                        os.path.basename(str(tgt_spk)) + ".wav",
+                    )
+                    if resume and os.path.exists(out):
+                        continue
+                    if (required is not None
+                            and subset_key(str(src_file), str(tgt_spk)) not in required):
+                        continue
+                    jobs.append((src_file, tgt_spk, out))
+
+        # bounded query cache: only the matching track + f0 survive (the
+        # query side never reads synth/harmonics), ~1 MB HBM per utterance
+        queries: dict = {}
+
+        def query_for(src_file):
+            if src_file not in queries:
+                if len(queries) >= max(64, 4 * data_batch):
+                    queries.pop(next(iter(queries)))
+                p = self._device_pool_for_files([src_file])
+                q = (p.matching, p.f0)
+                queries[src_file] = q if replicate is None else replicate(q)
+            return queries[src_file]
+
+        tgt_pools: dict = {}
+
+        def tgt_pool_for(tgt_spk):
+            if tgt_spk not in tgt_pools:
+                if len(tgt_pools) >= max_cached_pools:
+                    tgt_pools.pop(next(iter(tgt_pools)))
+                pool = self._device_pool_for_files(
+                    list_speaker_utterances(tgt_spk), duration_limit)
+                if replicate is not None:
+                    from knnsvc_tpu.match.pool import DevicePool
+
+                    pool = DevicePool(*replicate((pool.matching, pool.synth,
+                                                  pool.f0, pool.harmonics)))
+                tgt_pools[tgt_spk] = pool
+            return tgt_pools[tgt_spk]
+
+        hifigan_params = self.hifigan_params if replicate is None \
+            else replicate(self.hifigan_params)
+
+        # target-major grouping: one pool upload serves every batch against
+        # that speaker; within a target, jobs sharing a frame bucket batch
+        # together (one compile per (bucket, batch) shape)
+        by_tgt: dict = {}
+        for job in jobs:
+            by_tgt.setdefault(job[1], []).append(job)
+
+        written: list[str] = []
+        for tgt_spk, tgt_jobs in by_tgt.items():
+            ref = tgt_pool_for(tgt_spk)
+            by_bucket: dict[int, list] = {}
+            lengths = {}
+            for job in tgt_jobs:
+                q, _ = query_for(job[0])
+                lengths[job] = q.shape[0]
+                bucket = -(-q.shape[0] // 250) * 250
+                by_bucket.setdefault(bucket, []).append(job)
+            for bucket, bucket_jobs in by_bucket.items():
+                for start in range(0, len(bucket_jobs), data_batch):
+                    chunk = bucket_jobs[start:start + data_batch]
+                    # pad the batch to exactly data_batch (one compile per
+                    # bucket) by repeating the last job; padded rows are
+                    # computed and discarded
+                    padded = chunk + [chunk[-1]] * (data_batch - len(chunk))
+                    qs, qf0s = [], []
+                    for job in padded:
+                        m, f0 = query_for(job[0])
+                        T = m.shape[0]
+                        if T != bucket:
+                            m = jnp.concatenate(
+                                [m, jnp.repeat(m[-1:], bucket - T, axis=0)], 0)
+                            f0 = jnp.concatenate(
+                                [f0, jnp.zeros(bucket - T, f0.dtype)], 0)
+                        qs.append(m)
+                        qf0s.append(f0)
+                    out_b, f0_b, harm_b = match_utterances_batched(
+                        jnp.stack(qs), jnp.stack(qf0s), ref.matching,
+                        ref.synth, ref.f0, ref.harmonics,
+                        ckpt_type=self.ckpt_type, post_opt=popt, topk=topk,
+                        matcher=matcher, mesh=mesh)
+                    wav_b = hifigan_vocode(
+                        hifigan_params, self.h, self.family, out_b,
+                        f0_b[..., None],
+                        harm_b)
+                    q16 = np.asarray(_quantize_int16(wav_b))  # one download
+                    for row, job in enumerate(chunk):
+                        T = lengths[job]
+                        pred = q16[row, : T * self.h.hop_size].astype(np.float32) / 32768.0
+                        if tgt_loudness_db is not None:
+                            pred = normalize_loudness(pred, self.sr, tgt_loudness_db)
+                        out = job[2]
+                        os.makedirs(os.path.dirname(out), exist_ok=True)
+                        save_audio(out, pred, self.sr)
+                        written.append(out)
+        return written
+
     def bulk_convert(self, src_dataset_path: str, tgt_dataset_path: str,
                      converted_audio_dir: str, topk: int = 4,
                      prioritize_f0: bool = True, post_opt: str = "no_post_opt",
@@ -613,7 +750,8 @@ class KnnSvc:
                      pool_cache_dir: str | None = None,
                      matcher: str = "exact", mesh=None,
                      max_cached_pools: int = 8,
-                     fast: bool = False) -> list[str]:
+                     fast: bool = False,
+                     data_batch: int | None = None) -> list[str]:
         """Dataset -> dataset conversion (ref bulk_match :1027-1156): every
         (src speaker, tgt speaker) pair except same-index self pairs; outputs
         `<dir>/<src_spk>/<utt>/<tgt_spk>.<ext>`. Source pools are built once
@@ -626,8 +764,14 @@ class KnnSvc:
         fast=True runs the device-resident bulk loop (_bulk_convert_fast):
         pools/match/vocode stay in HBM, fast native f0, bucketed vocoding,
         int16 downloads — ~3x the host-pool loop's throughput on tunneled
-        single-chip setups (BASELINE.md). Ignores batch_vocode/pool_cache_dir
-        /mesh (single-chip serving mode)."""
+        single-chip setups (BASELINE.md). Ignores batch_vocode/pool_cache_dir.
+        matcher='sharded' shards each target pool over the mesh 'pool' axis.
+
+        data_batch (fast mode): convert that many utterances per dispatch
+        through the vmapped fused match + batched vocode; pass mesh (with a
+        'data' axis) to shard the batch across chips — an n-chip mesh
+        converts ~n x the utterances per dispatch (data-axis serving fan-out;
+        the reference converts one at a time, ref ddsp_matcher.py:1106)."""
         assert os.path.isdir(src_dataset_path) and os.path.isdir(tgt_dataset_path)
         os.makedirs(converted_audio_dir, exist_ok=True)
 
@@ -651,6 +795,18 @@ class KnnSvc:
                 required = [row[2] for i, row in enumerate(reader) if i != 0 and row[-1] == "0"]
 
         if fast:
+            if data_batch is None and mesh is not None and "data" in mesh.shape \
+                    and mesh.shape["data"] > 1:
+                data_batch = mesh.shape["data"]
+            if data_batch is not None and data_batch > 1:
+                return self._bulk_convert_fast_batched(
+                    src_spks, tgt_spks, src_dataset_path == tgt_dataset_path,
+                    converted_audio_dir, topk, prioritize_f0, post_opt,
+                    set(required) if required is not None else None,
+                    duration_limit, tgt_loudness_db, resume, matcher,
+                    max_cached_pools, data_batch,
+                    mesh if mesh is not None and "data" in mesh.shape
+                    and mesh.shape["data"] > 1 else None)
             return self._bulk_convert_fast(
                 src_spks, tgt_spks, src_dataset_path == tgt_dataset_path,
                 converted_audio_dir, topk, prioritize_f0, post_opt,

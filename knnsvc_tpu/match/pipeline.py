@@ -159,6 +159,64 @@ def _prepare_ref_pool(ref_pool: SpeakerPool, need_fp32_matching: bool,
     return prep
 
 
+@functools.partial(jax.jit, static_argnames=("topk", "approx", "use_harmonics",
+                                             "concat_weight", "opt_enabled"))
+def _match_core_batch(qs, qf0s, matching, synth, pool_f0, harmonics,
+                      topk: int, approx: bool, use_harmonics: bool,
+                      concat_weight: float, opt_enabled: bool):
+    """The fused match vmapped over a batch of equal-length queries against
+    ONE shared target pool: (B, Tb, D) -> (B, Tb, D) in a single dispatch.
+    The per-frame scans/loops (concat cost, smoothness) are serial in T but
+    independent across utterances — batching B utterances into the same
+    dispatch is where bulk throughput comes from (and, with the batch axis
+    sharded over the mesh 'data' axis, where multi-chip serving scales)."""
+    if not opt_enabled and concat_weight == -1.0:
+        def one(q, qf0):
+            return _match_core(q, matching, synth, pool_f0, harmonics, qf0,
+                               topk=topk, approx=approx,
+                               use_harmonics=use_harmonics)
+    else:
+        def one(q, qf0):
+            return _match_core_post_opt(q, matching, synth, pool_f0,
+                                        harmonics, qf0, topk=topk,
+                                        approx=approx,
+                                        use_harmonics=use_harmonics,
+                                        concat_weight=concat_weight,
+                                        opt_enabled=opt_enabled)
+    return jax.vmap(one)(qs, qf0s)
+
+
+def match_utterances_batched(qs, qf0s, matching, synth, pool_f0, harmonics,
+                             ckpt_type: str, post_opt: PostOpt, topk: int = 4,
+                             matcher: str = "approx", mesh=None):
+    """Batch of equal-length queries (B, Tb, D) + (B, Tb) f0 against one
+    prepared target pool -> (out (B, Tb, D), shifted_f0 (B, Tb),
+    harmonics (B, Tb, 49) | None), all still on device.
+
+    mesh: when given (with a 'data' axis), the batch axis is sharded across
+    it — B/n_data utterances per chip, pool replicated; an n-chip mesh
+    converts ~n x the utterances per dispatch. The reference converts
+    strictly one utterance at a time on one GPU (ref ddsp_matcher.py:1106);
+    this is the framework's data-axis serving fan-out (no ref analogue)."""
+    use_harm = uses_harmonics(ckpt_type)
+    qs = jnp.asarray(qs)
+    qf0s = jnp.asarray(qf0s)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        assert qs.shape[0] % mesh.shape["data"] == 0, (
+            f"batch {qs.shape[0]} must divide the data axis {mesh.shape['data']}")
+        qs = jax.device_put(qs, NamedSharding(mesh, P("data", None, None)))
+        qf0s = jax.device_put(qf0s, NamedSharding(mesh, P("data", None)))
+    out, shifted, harm = _match_core_batch(
+        qs, qf0s, matching, synth, pool_f0,
+        harmonics if use_harm else synth[:, :1],
+        topk=topk, approx=(matcher == "approx"), use_harmonics=use_harm,
+        concat_weight=post_opt.concat_weight, opt_enabled=post_opt.enabled,
+    )
+    return out, shifted, (harm if use_harm else None)
+
+
 @dataclasses.dataclass
 class ConversionFeatures:
     """Vocoder inputs for one source utterance."""

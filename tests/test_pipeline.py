@@ -2,6 +2,8 @@
 weights). Full-size model parity is covered by the per-module tests; here we
 exercise pool building -> kNN match -> (optional post_opt) -> vocode -> WAV."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -390,3 +392,44 @@ def test_bulk_convert_fast_sharded(tiny_world, tmp_path):
         ye, _ = load_audio(pe)
         ys, _ = load_audio(ps)
         np.testing.assert_allclose(ye, ys, atol=2e-5)
+
+
+@pytest.mark.parametrize("use_mesh", [False, True])
+def test_bulk_convert_fast_data_batched_matches_serial(tiny_world, tmp_path,
+                                                       use_mesh):
+    """Data-axis bulk serving (VERDICT r2 #5): bulk_convert(fast=True,
+    data_batch=N[, mesh]) — conversions batched through one vmapped
+    fused-match + batched-vocode dispatch, optionally sharded over the
+    8-device 'data' axis — produces the same outputs as the serial fast
+    loop."""
+    root, src_dir, tgt_dir, cfg, params, w = tiny_world
+    from knnsvc_tpu.config import ModelFamily
+    from knnsvc_tpu.hub import KnnSvc
+    from knnsvc_tpu.io.audio import load_audio
+    from knnsvc_tpu.models.hifigan import init_generator_params
+    from knnsvc_tpu.parallel.mesh import make_mesh
+
+    h = HiFiGANConfig.from_dict(SMALL_HIFIGAN)
+    gen = init_generator_params(jax.random.PRNGKey(1), h, ModelFamily.MIX)
+    knn = KnnSvc(params, cfg, gen, h, ckpt_type="mix")
+    knn.weighting = w
+
+    tag = "mesh" if use_mesh else "nomesh"
+    serial = knn.bulk_convert(str(root), str(root),
+                              str(tmp_path / f"serial_{tag}"),
+                              fast=True, matcher="approx")
+    mesh = make_mesh(n_data=len(jax.devices()), n_pool=1) if use_mesh else None
+    batched = knn.bulk_convert(str(root), str(root),
+                               str(tmp_path / f"batched_{tag}"),
+                               fast=True, matcher="approx",
+                               data_batch=8, mesh=mesh)
+    assert len(serial) == len(batched) > 0
+    for ps, pb in zip(sorted(serial), sorted(batched)):
+        assert os.path.relpath(ps, tmp_path / f"serial_{tag}") == \
+            os.path.relpath(pb, tmp_path / f"batched_{tag}")
+        ys, _ = load_audio(ps)
+        yb, _ = load_audio(pb)
+        assert ys.shape == yb.shape
+        # identical semantics; vmap/batch lowering may flip the last float
+        # bit, which the int16 quantizer amplifies to one quantum (3.05e-5)
+        np.testing.assert_allclose(ys, yb, atol=1e-4)
