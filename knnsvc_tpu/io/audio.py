@@ -8,8 +8,8 @@ lib_ongaku_test.py:89-143). None of those native libs are available here, so:
 - FLAC reads use the clean-room native decoder (native/flacdec/flac.cc) and
   writes the clean-room 16-bit encoder (native/flacdec/flacenc.cc);
 - mp3 reads decode through SDL_mixer via pygame (knnsvc_tpu/io/mp3.py);
-  mp3 WRITES are gated with a clear error (no encoder in this environment —
-  use .wav or .flac).
+  mp3 writes encode through libmp3lame via ctypes (same codec the
+  reference's pydub/ffmpeg export bottoms out in).
 
 Output convention matches the reference exactly: float waveforms are peak-
 normalized only if |x|>1, scaled by 2^31-1 and written as PCM_32
@@ -143,10 +143,18 @@ def save_audio(filename: Union[str, os.PathLike], waveform, sample_rate: int) ->
         # FLAC quantizer
         encode_flac(filename, waveform.astype(np.float64) / (2 ** 31 - 1), sample_rate)
         return
+    if ext == ".mp3":
+        from knnsvc_tpu.io.mp3 import encode_mp3  # libmp3lame via ctypes
+
+        # int32 PCM re-enters as [-1,1] float for the codec, at the
+        # reference's 320k request (clamped by the MPEG bitrate table for
+        # 16 kHz audio exactly as ffmpeg clamps it — lib_ongaku_test.py:118)
+        encode_mp3(filename, waveform.astype(np.float64) / (2 ** 31 - 1),
+                   sample_rate, bitrate_kbps=320)
+        return
     if ext not in _SUPPORTED_WRITE_EXT:
         raise NotImplementedError(
-            f"Only WAV/FLAC encoding is available in this environment (got {ext}); "
-            "mp3 export needs an encoder library."
+            f"Only WAV/FLAC/mp3 encoding is available in this environment (got {ext})."
         )
 
     if waveform.ndim == 1:

@@ -121,3 +121,123 @@ def decode_mp3(path: str | os.PathLike, normalize: bool = True) -> tuple[np.ndar
     if normalize:
         out /= 32768.0
     return out, sr
+
+
+# ---------------------------------------------------------------------------
+# Encoding (ref writes mp3 at 320k through pydub/ffmpeg/libmp3lame,
+# lib_ongaku_test.py:118-143). This image has no ffmpeg/pydub, but it does
+# carry libmp3lame.so itself, so the encoder is reached directly via ctypes —
+# the same codec the reference's export path bottoms out in.
+
+_LAME_PATHS = (
+    "libmp3lame.so.0",
+    "libmp3lame.so",
+    "/usr/lib/x86_64-linux-gnu/libmp3lame.so.0",
+)
+
+# max kbps by MPEG version (ISO 11172-3 / 13818-3 bitrate tables); LAME
+# rejects out-of-table rates instead of clamping, and ffmpeg's own mp3 mux
+# clamps a 320k request on 16 kHz audio the same way
+_MAX_KBPS_MPEG1 = 320    # 32 / 44.1 / 48 kHz
+_MAX_KBPS_LSF = 160      # 16 / 22.05 / 24 kHz (MPEG-2) and MPEG-2.5
+
+_lame = None
+
+
+def _load_lame():
+    global _lame
+    if _lame is not None:
+        return _lame
+    import ctypes
+
+    lib = None
+    for name in _LAME_PATHS:
+        try:
+            lib = ctypes.CDLL(name)
+            break
+        except OSError:
+            continue
+    if lib is None:
+        raise NotImplementedError(
+            "mp3 encoding needs libmp3lame, which is not present"
+        )
+    c = ctypes
+    lib.lame_init.restype = c.c_void_p
+    for fn in ("lame_set_in_samplerate", "lame_set_out_samplerate",
+               "lame_set_num_channels", "lame_set_brate", "lame_set_quality",
+               "lame_set_mode"):
+        getattr(lib, fn).restype = c.c_int
+        getattr(lib, fn).argtypes = [c.c_void_p, c.c_int]
+    lib.lame_init_params.restype = c.c_int
+    lib.lame_init_params.argtypes = [c.c_void_p]
+    lib.lame_encode_buffer_ieee_float.restype = c.c_int
+    lib.lame_encode_buffer_ieee_float.argtypes = [
+        c.c_void_p, c.POINTER(c.c_float), c.POINTER(c.c_float), c.c_int,
+        c.POINTER(c.c_ubyte), c.c_int,
+    ]
+    lib.lame_encode_flush.restype = c.c_int
+    lib.lame_encode_flush.argtypes = [
+        c.c_void_p, c.POINTER(c.c_ubyte), c.c_int]
+    lib.lame_close.restype = c.c_int
+    lib.lame_close.argtypes = [c.c_void_p]
+    _lame = lib
+    return lib
+
+
+def encode_mp3(path: str | os.PathLike, waveform: np.ndarray, sample_rate: int,
+               bitrate_kbps: int = 320) -> None:
+    """Encode float waveform ((channels, T) or (T,), [-1, 1]) to CBR mp3.
+
+    The requested bitrate is clamped to the MPEG bitrate table for the
+    sample rate (320k for >=32 kHz, 160k for the low-sample-frequency
+    versions) — the reference's `bitrate="320k"` request goes through the
+    identical clamp inside ffmpeg for its 16 kHz outputs.
+    """
+    import ctypes
+
+    lib = _load_lame()
+    x = np.asarray(waveform, dtype=np.float32)
+    if x.ndim == 1:
+        x = x[None, :]
+    if x.shape[0] > 2:
+        raise ValueError(f"mp3 supports mono/stereo, got {x.shape[0]} channels")
+    n_ch, n = int(x.shape[0]), int(x.shape[1])
+
+    max_kbps = _MAX_KBPS_MPEG1 if sample_rate >= 32000 else _MAX_KBPS_LSF
+    kbps = min(int(bitrate_kbps), max_kbps)
+
+    gfp = lib.lame_init()
+    if not gfp:
+        raise RuntimeError("lame_init failed")
+    try:
+        lib.lame_set_in_samplerate(gfp, int(sample_rate))
+        # pin the output rate so LAME never resamples behind our back
+        lib.lame_set_out_samplerate(gfp, int(sample_rate))
+        lib.lame_set_num_channels(gfp, n_ch)
+        if n_ch == 1:
+            lib.lame_set_mode(gfp, 3)  # MONO
+        lib.lame_set_brate(gfp, kbps)
+        lib.lame_set_quality(gfp, 2)
+        if lib.lame_init_params(gfp) < 0:
+            raise RuntimeError(
+                f"lame_init_params rejected sr={sample_rate} ch={n_ch} "
+                f"brate={kbps}"
+            )
+        left = np.ascontiguousarray(x[0])
+        right = np.ascontiguousarray(x[1] if n_ch == 2 else x[0])
+        fptr = ctypes.POINTER(ctypes.c_float)
+        buf = (ctypes.c_ubyte * (n + n // 4 + 7200))()
+        written = lib.lame_encode_buffer_ieee_float(
+            gfp, left.ctypes.data_as(fptr), right.ctypes.data_as(fptr),
+            n, buf, len(buf))
+        if written < 0:
+            raise RuntimeError(f"lame_encode_buffer failed ({written})")
+        tail = (ctypes.c_ubyte * 7200)()
+        flushed = lib.lame_encode_flush(gfp, tail, len(tail))
+        if flushed < 0:
+            raise RuntimeError(f"lame_encode_flush failed ({flushed})")
+        with open(path, "wb") as f:
+            f.write(bytes(buf[:written]))
+            f.write(bytes(tail[:flushed]))
+    finally:
+        lib.lame_close(gfp)

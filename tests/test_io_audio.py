@@ -139,3 +139,50 @@ def test_mp3_ingestion():
     assert 5.0 < x.shape[1] / sr < 10.0     # known ~7.3 s sample
     assert np.abs(x).max() > 0.1  # real signal, normalized to [-1, 1]
     assert np.abs(x).max() <= 1.0
+
+
+def test_mp3_export_roundtrip(tmp_path):
+    """save_audio('.mp3') encodes via libmp3lame (ref writes mp3 at 320k via
+    pydub/ffmpeg/libmp3lame, lib_ongaku_test.py:118-143) and our own
+    SDL_mixer read path decodes it back within codec tolerance."""
+    pytest.importorskip("pygame")
+    sr = 16000
+    t = np.arange(3 * sr) / sr
+    # chirp + noise floor: aperiodic, so the delay estimate is unambiguous
+    rng = np.random.default_rng(0)
+    x = (0.4 * np.sin(2 * np.pi * (200 + 600 * t) * t)
+         + 0.02 * rng.standard_normal(len(t))).astype(np.float32)
+    p = tmp_path / "out.mp3"
+    save_audio(p, x, sr)
+    assert p.stat().st_size > 1000
+    y, sr2 = load_audio(p)
+    assert sr2 == sr and y.ndim == 2 and y.shape[0] == 1
+    y0 = y[0]
+    # codec delay: align by cross-correlation against the first half-second
+    probe = x[: sr // 2]
+    lag = np.argmax(np.correlate(y0[: sr], probe, "valid"))
+    n = min(len(x), len(y0) - lag)
+    assert n > 2 * sr
+    err = y0[lag:lag + n] - x[:n]
+    snr = 10 * np.log10(np.sum(x[:n] ** 2) / max(np.sum(err ** 2), 1e-12))
+    assert snr > 15.0, f"mp3 round-trip SNR {snr:.1f} dB"
+    # CBR 160k (the MPEG-2 LSF clamp of the 320k request): ~20 kB/s
+    assert 0.7 * 20000 * 3 < p.stat().st_size < 1.3 * 20000 * 3
+
+
+def test_mp3_export_stereo(tmp_path):
+    pytest.importorskip("pygame")
+    sr = 16000
+    t = np.arange(sr) / sr
+    rng = np.random.default_rng(1)
+    x = np.stack([
+        0.3 * np.sin(2 * np.pi * (150 + 400 * t) * t),
+        0.1 * rng.standard_normal(len(t)),
+    ]).astype(np.float32)
+    p = tmp_path / "st.mp3"
+    save_audio(p, x, sr)
+    y, sr2 = load_audio(p)
+    assert sr2 == sr and y.shape[0] == 2
+    # channels stay distinct (left is tonal, right is noise)
+    assert np.mean(np.abs(y[0])) > 2 * np.mean(np.abs(y[1])) or \
+        np.std(y[0] - y[1]) > 0.01
