@@ -16,8 +16,9 @@ Random full-size weights (throughput is weight-independent). Three configs:
 
   fast      bf16 MXU + approx top-k + DIO f0, no_post_opt      -> headline
   post_opt  same device settings, post_opt_0.2 (OPT+CAT paper config)
-  parity    fp32 HIGHEST + exact top-k (the <=1e-3 waveform config),
-            gated behind KNNSVC_BENCH_PARITY=1 (adds minutes of compile)
+  parity    fp32 HIGHEST + exact top-k (the <=1e-3 waveform config); runs
+            by default after the headline JSON (set KNNSVC_BENCH_SKIP_PARITY=1
+            to skip its minutes of compile)
 
 A per-stage wall-clock split (encode/f0/spec+harm/match/vocode) is printed
 to stderr via utils.profiling.StageTimer.

@@ -99,9 +99,13 @@ class KnnSvc:
 
         # generator scan: like the reference's scan_checkpoint(dir, ckpt_type)
         # (ref ddsp_hubconf.py:85) but never picks the discriminator/optimizer
-        # (do_*) half of a trained pair
+        # (do_*) half of a trained pair, and never a file whose own type
+        # markers dispatch to a different model family (a bare substring glob
+        # would let ckpt_type='wavlm_only' select a *_wavlm_only_original_*
+        # checkpoint — an ORIGINAL-family param tree for an F0_ONLY model)
         matches = [p for p in glob.glob(os.path.join(ckpt_dir, f"*{ckpt_type}*"))
-                   if not os.path.basename(p).startswith("do_")]
+                   if not os.path.basename(p).startswith("do_")
+                   and model_family_for_ckpt_type(os.path.basename(p)) == family]
         cp_g = sorted(matches)[-1] if matches else None
         if cp_g is None:
             orbax_dir = os.path.join(ckpt_dir, "orbax")
@@ -501,10 +505,55 @@ class KnnSvc:
         q = _quantize_int16(wav[0, : T * self.h.hop_size])
         return np.asarray(q).astype(np.float32) / 32768.0
 
+    class _HostQueryCache:
+        """Host-RAM LRU of (matching, f0) query tracks keyed by source file.
+
+        A conversion's query side only reads the matching features + f0, so
+        each distinct source utterance is WavLM-encoded at most `1` time per
+        cache lifetime (the expensive part); entries live as numpy on the
+        host (~3 MB per 15-s utterance) and re-upload per use, which is
+        cheap next to a re-encode. Device HBM holds only the queries of the
+        in-flight dispatch. `cap` bounds host RAM for corpus-scale runs
+        (2048 entries ~ 6 GB); LRU (not FIFO) so the per-target sequential
+        scans of the bulk loops don't evict the entry they need next."""
+
+        def __init__(self, svc, cap: int = 2048):
+            import collections
+
+            self._svc = svc
+            self._cap = cap
+            self._d: "collections.OrderedDict" = collections.OrderedDict()
+
+        def get(self, src_file):
+            key = str(src_file)
+            if key in self._d:
+                self._d.move_to_end(key)
+                return self._d[key]
+            if len(self._d) >= self._cap:
+                self._d.popitem(last=False)
+            p = self._svc._device_pool_for_files([src_file])
+            q = (np.asarray(p.matching), np.asarray(p.f0))
+            self._d[key] = q
+            return q
+
+    @staticmethod
+    def _bucket_pad_query(m: np.ndarray, f0: np.ndarray, bucket: int = 250):
+        """Pad a (T, D) query + (T,) f0 to the next frame-bucket multiple so
+        the fused match (minutes of compile for the post_opt core) compiles
+        once per BUCKET, not once per utterance length: features pad by edge
+        replication, f0 by zeros (unvoiced — keeps the voiced-median register
+        shift exact). Returns (padded_m, padded_f0, true_len)."""
+        T = m.shape[0]
+        Tb = -(-T // bucket) * bucket
+        if Tb != T:
+            m = np.concatenate([m, np.repeat(m[-1:], Tb - T, axis=0)], 0)
+            f0 = np.concatenate([f0, np.zeros(Tb - T, f0.dtype)], 0)
+        return m, f0, T
+
     def _bulk_convert_fast(self, src_spks, tgt_spks, same_root,
                            converted_audio_dir, topk, prioritize_f0, post_opt,
                            required, duration_limit, tgt_loudness_db, resume,
-                           matcher, max_cached_pools) -> list[str]:
+                           matcher, mesh=None) -> list[str]:
         """Device-resident bulk loop: per-utterance device pools, the fused
         one-dispatch match, bucketed vocode, int16 downloads. Semantics match
         the host loop except: fast native f0 (not Harvest), no VAD trim of
@@ -519,34 +568,26 @@ class KnnSvc:
                 f"bulk_convert(fast=True) supports matcher 'exact', 'approx' "
                 f"or 'sharded', not {matcher!r}")
         popt = PostOpt.parse(post_opt)
-        pool_mesh = _default_pool_mesh() if matcher == "sharded" else None
-        tgt_pools: dict = {}
-
-        def tgt_pool_for(tgt_spk):
-            if tgt_spk not in tgt_pools:
-                if len(tgt_pools) >= max_cached_pools:
-                    tgt_pools.pop(next(iter(tgt_pools)))
-                pool = self._device_pool_for_files(
-                    list_speaker_utterances(tgt_spk), duration_limit)
-                if matcher == "sharded":
-                    from knnsvc_tpu.parallel.sharded_match import shard_speaker_pool
-
-                    pool = shard_speaker_pool(pool.matching, pool.synth,
-                                              pool.f0, pool.harmonics, pool_mesh)
-                tgt_pools[tgt_spk] = pool
-            return tgt_pools[tgt_spk]
+        pool_mesh = None
+        if matcher == "sharded":
+            pool_mesh = mesh if mesh is not None and "pool" in mesh.shape \
+                and mesh.shape["pool"] > 1 else _default_pool_mesh()
+        queries = self._HostQueryCache(self)
 
         written: list[str] = []
-        # src utterance is the OUTER loop: exactly one source device pool is
-        # live at a time (an utterance-per-target inner loop would accumulate
-        # every utterance's pool in HBM for the whole speaker); target pools
-        # are the shared ones and ride the bounded tgt_pools cache
-        for i, spk in enumerate(src_spks):
-            for src_file in list_speaker_utterances(spk):
-                src = None  # built lazily on the first non-skipped target
-                for j, tgt_spk in enumerate(tgt_spks):
-                    if same_root and i == j:
-                        continue
+        # TARGET is the outer loop: each target pool (the expensive
+        # multi-utterance WavLM encode) is built exactly once per run and
+        # only one is HBM-resident at a time; source queries ride the
+        # host-RAM LRU and re-upload per pair. (An utterance-outer order
+        # with a bounded FIFO target cache sequential-scan-thrashes the
+        # moment len(tgt_spks) > the cache bound: every target pool would
+        # rebuild once per UTTERANCE.)
+        for j, tgt_spk in enumerate(tgt_spks):
+            ref = None  # built lazily: resume/subset runs may skip a target
+            for i, spk in enumerate(src_spks):
+                if same_root and i == j:
+                    continue
+                for src_file in list_speaker_utterances(spk):
                     out = os.path.join(
                         converted_audio_dir, os.path.basename(spk),
                         os.path.basename(str(src_file)).split(".")[0],
@@ -557,25 +598,18 @@ class KnnSvc:
                     if (required is not None
                             and subset_key(str(src_file), str(tgt_spk)) not in required):
                         continue
-                    ref = tgt_pool_for(tgt_spk)
-                    if src is None:
-                        src = self._device_pool_for_files([src_file])
-                    # bucket-pad the query so the fused match (minutes of
-                    # compile for the post_opt core) compiles once per frame
-                    # BUCKET, not once per utterance length: features pad by
-                    # edge replication, f0 by zeros (unvoiced — keeps the
-                    # voiced-median register shift exact); outputs sliced to
-                    # the true length below
-                    T = src.matching.shape[0]
-                    Tb = -(-T // 250) * 250
-                    if Tb != T:
-                        m = jnp.concatenate(
-                            [src.matching,
-                             jnp.repeat(src.matching[-1:], Tb - T, axis=0)], 0)
-                        qf0 = jnp.concatenate(
-                            [src.f0, jnp.zeros(Tb - T, src.f0.dtype)], 0)
-                    else:
-                        m, qf0 = src.matching, src.f0
+                    if ref is None:
+                        ref = self._device_pool_for_files(
+                            list_speaker_utterances(tgt_spk), duration_limit)
+                        if matcher == "sharded":
+                            from knnsvc_tpu.parallel.sharded_match import shard_speaker_pool
+
+                            ref = shard_speaker_pool(
+                                ref.matching, ref.synth, ref.f0,
+                                ref.harmonics, pool_mesh)
+                    m0, f00 = queries.get(src_file)
+                    m, qf0, T = self._bucket_pad_query(m0, f00)
+                    Tb = m.shape[0]
                     if matcher == "sharded":
                         feats = match_utterance(
                             m, qf0, None, None, None, None,
@@ -606,8 +640,7 @@ class KnnSvc:
                                    converted_audio_dir, topk, prioritize_f0,
                                    post_opt, required, duration_limit,
                                    tgt_loudness_db, resume, matcher,
-                                   max_cached_pools, data_batch,
-                                   mesh) -> list[str]:
+                                   data_batch, mesh) -> list[str]:
         """Data-axis bulk serving: conversions grouped by (target speaker,
         frame bucket) and run `data_batch` at a time through ONE vmapped
         fused-match dispatch + ONE batched-vocode dispatch, the batch axis
@@ -623,6 +656,9 @@ class KnnSvc:
             raise ValueError(
                 "data-axis bulk serving supports matcher 'exact'/'approx' "
                 f"(pool replicated, batch sharded), not {matcher!r}")
+        # same contract the serial paths enforce (ref live path always
+        # f0-prioritizes); the batched core has no non-prioritized variant
+        assert prioritize_f0, "prioritize_f0 is mandatory on the reference live path"
         popt = PostOpt.parse(post_opt)
         replicate = None
         if mesh is not None:
@@ -651,34 +687,23 @@ class KnnSvc:
                         continue
                     jobs.append((src_file, tgt_spk, out))
 
-        # bounded query cache: only the matching track + f0 survive (the
-        # query side never reads synth/harmonics), ~1 MB HBM per utterance
-        queries: dict = {}
-
-        def query_for(src_file):
-            if src_file not in queries:
-                if len(queries) >= max(64, 4 * data_batch):
-                    queries.pop(next(iter(queries)))
-                p = self._device_pool_for_files([src_file])
-                q = (p.matching, p.f0)
-                queries[src_file] = q if replicate is None else replicate(q)
-            return queries[src_file]
-
-        tgt_pools: dict = {}
+        # host-RAM LRU of (matching, f0) numpy tracks: every distinct source
+        # utterance is WavLM-encoded at most once for the whole run (both the
+        # bucketing pass and the chunk loop below hit the same entry); device
+        # HBM only holds the in-flight chunk's stacked queries
+        queries = self._HostQueryCache(self)
 
         def tgt_pool_for(tgt_spk):
-            if tgt_spk not in tgt_pools:
-                if len(tgt_pools) >= max_cached_pools:
-                    tgt_pools.pop(next(iter(tgt_pools)))
-                pool = self._device_pool_for_files(
-                    list_speaker_utterances(tgt_spk), duration_limit)
-                if replicate is not None:
-                    from knnsvc_tpu.match.pool import DevicePool
+            # target-major loop below: each pool is used by exactly one
+            # contiguous run of chunks, so one pool is live at a time
+            pool = self._device_pool_for_files(
+                list_speaker_utterances(tgt_spk), duration_limit)
+            if replicate is not None:
+                from knnsvc_tpu.match.pool import DevicePool
 
-                    pool = DevicePool(*replicate((pool.matching, pool.synth,
-                                                  pool.f0, pool.harmonics)))
-                tgt_pools[tgt_spk] = pool
-            return tgt_pools[tgt_spk]
+                pool = DevicePool(*replicate((pool.matching, pool.synth,
+                                              pool.f0, pool.harmonics)))
+            return pool
 
         hifigan_params = self.hifigan_params if replicate is None \
             else replicate(self.hifigan_params)
@@ -696,7 +721,7 @@ class KnnSvc:
             by_bucket: dict[int, list] = {}
             lengths = {}
             for job in tgt_jobs:
-                q, _ = query_for(job[0])
+                q, _ = queries.get(job[0])
                 lengths[job] = q.shape[0]
                 bucket = -(-q.shape[0] // 250) * 250
                 by_bucket.setdefault(bucket, []).append(job)
@@ -709,17 +734,11 @@ class KnnSvc:
                     padded = chunk + [chunk[-1]] * (data_batch - len(chunk))
                     qs, qf0s = [], []
                     for job in padded:
-                        m, f0 = query_for(job[0])
-                        T = m.shape[0]
-                        if T != bucket:
-                            m = jnp.concatenate(
-                                [m, jnp.repeat(m[-1:], bucket - T, axis=0)], 0)
-                            f0 = jnp.concatenate(
-                                [f0, jnp.zeros(bucket - T, f0.dtype)], 0)
+                        m, f0, _ = self._bucket_pad_query(*queries.get(job[0]))
                         qs.append(m)
                         qf0s.append(f0)
                     out_b, f0_b, harm_b = match_utterances_batched(
-                        jnp.stack(qs), jnp.stack(qf0s), ref.matching,
+                        np.stack(qs), np.stack(qf0s), ref.matching,
                         ref.synth, ref.f0, ref.harmonics,
                         ckpt_type=self.ckpt_type, post_opt=popt, topk=topk,
                         matcher=matcher, mesh=mesh)
@@ -795,7 +814,11 @@ class KnnSvc:
                 required = [row[2] for i, row in enumerate(reader) if i != 0 and row[-1] == "0"]
 
         if fast:
-            if data_batch is None and mesh is not None and "data" in mesh.shape \
+            # data-axis auto-routing only applies to the matchers the batched
+            # core supports: a pool-sharded request on a mesh that also has a
+            # data axis must still run the serial sharded loop, not error
+            if data_batch is None and matcher in ("exact", "approx") \
+                    and mesh is not None and "data" in mesh.shape \
                     and mesh.shape["data"] > 1:
                 data_batch = mesh.shape["data"]
             if data_batch is not None and data_batch > 1:
@@ -804,7 +827,7 @@ class KnnSvc:
                     converted_audio_dir, topk, prioritize_f0, post_opt,
                     set(required) if required is not None else None,
                     duration_limit, tgt_loudness_db, resume, matcher,
-                    max_cached_pools, data_batch,
+                    data_batch,
                     mesh if mesh is not None and "data" in mesh.shape
                     and mesh.shape["data"] > 1 else None)
             return self._bulk_convert_fast(
@@ -812,7 +835,7 @@ class KnnSvc:
                 converted_audio_dir, topk, prioritize_f0, post_opt,
                 set(required) if required is not None else None,
                 duration_limit, tgt_loudness_db, resume, matcher,
-                max_cached_pools)
+                mesh=mesh)
 
         written: list[str] = []
         # every target pool is shared by ALL source speakers: build each once

@@ -165,7 +165,7 @@ def _load_lame():
     lib.lame_init.restype = c.c_void_p
     for fn in ("lame_set_in_samplerate", "lame_set_out_samplerate",
                "lame_set_num_channels", "lame_set_brate", "lame_set_quality",
-               "lame_set_mode"):
+               "lame_set_mode", "lame_set_bWriteVbrTag"):
         getattr(lib, fn).restype = c.c_int
         getattr(lib, fn).argtypes = [c.c_void_p, c.c_int]
     lib.lame_init_params.restype = c.c_int
@@ -218,6 +218,11 @@ def encode_mp3(path: str | os.PathLike, waveform: np.ndarray, sample_rate: int,
             lib.lame_set_mode(gfp, 3)  # MONO
         lib.lame_set_brate(gfp, kbps)
         lib.lame_set_quality(gfp, 2)
+        # CBR needs no Xing/Info tag; left on, LAME reserves a first frame
+        # meant to be patched via lame_get_lametag_frame after flush — we
+        # never patch it, and an unfilled tag frame makes players misreport
+        # duration / decode a spurious silence frame
+        lib.lame_set_bWriteVbrTag(gfp, 0)
         if lib.lame_init_params(gfp) < 0:
             raise RuntimeError(
                 f"lame_init_params rejected sr={sample_rate} ch={n_ch} "

@@ -78,8 +78,10 @@ constexpr double kNeighborTolerance = 0.05;
 constexpr double kStep1AllowedRange = 0.008; // max relative jump per 1 ms
 constexpr int kMinVoicedRun = 9;             // 1-ms frames
 constexpr double kExtendTolerance = 0.09;
-constexpr int kMaxExtend = 100;              // 1-ms frames per direction
+constexpr int kMaxExtend = 400;              // 1-ms frames per direction
 constexpr double kSmoothCutoffHz = 30.0;     // contour low-pass (1 kHz frame rate)
+// Stage-5c refine-backstop score gate (see extend_sections)
+constexpr double kExtendRefineScore = 5.0;
 
 
 // Tuning-harness override: HARVEST_TUNE="score_floor,lambda,toggle,unvoiced,
@@ -100,6 +102,53 @@ struct TrackParams {
   double snr_knee = 6.342;    // score *= snr / (snr + snr_knee)
   double rel_gamma = 1.383;   // in-frame relative amp exponent (0 disables)
 };
+
+// Experiment hook (tuning harness only): HARVEST_EXP is a comma list of up
+// to 7 fields, in ExpParams declaration order (empty field = keep default):
+//   1 window_periods        refine averaging window, in periods
+//   2 overlap_frames        stage-4b candidate sharing radius
+//   3 smooth_cutoff_hz      stage-5d contour low-pass
+//   4 sharpen_window        >0: post-smoothing re-refine of voiced frames
+//                           with this (shorter) window so fast ornaments the
+//                           broad refine window averages away are recovered
+//   5 curvature_k           >0: second-difference deconvolution of the
+//                           refine window's averaging bias
+//   6 extend_refine_score   refine-backstop score gate in section extension
+//   7 sharpen_vel_gate      >0: apply the sharpen re-refine ONLY where the
+//                           local contour velocity exceeds this many
+//                           cents/frame (steady regions keep the broad
+//                           window's lower-variance estimate)
+struct ExpParams {
+  double window_periods = kRefineWindowPeriods;
+  double overlap_frames = kOverlapFrames;
+  double smooth_cutoff = kSmoothCutoffHz;
+  double sharpen_window = 0.0;
+  double curvature_k = 0.0;
+  double extend_refine_score = kExtendRefineScore;
+  double sharpen_vel_gate = 0.0;
+};
+
+ExpParams exp_params() {
+  ExpParams p;
+  if (const char* e = std::getenv("HARVEST_EXP")) {
+    double* slots[7] = {&p.window_periods, &p.overlap_frames,
+                        &p.smooth_cutoff, &p.sharpen_window,
+                        &p.curvature_k, &p.extend_refine_score,
+                        &p.sharpen_vel_gate};
+    int slot = 0;
+    const char* s = e;
+    while (slot < 7) {
+      char* end = nullptr;
+      const double v = std::strtod(s, &end);
+      if (end != s) *slots[slot] = v;
+      slot++;
+      const char* comma = std::strchr(end ? end : s, ',');
+      if (!comma) break;
+      s = comma + 1;
+    }
+  }
+  return p;
+}
 
 TrackParams track_params() {
   TrackParams p;
@@ -212,19 +261,20 @@ void fix_jumps_and_short_runs(std::vector<double>* f0p) {
 // the contour (glides and low-amplitude stretches never generate one), ask
 // the instantaneous-frequency refiner directly, seeded with the
 // continuation value. Acceptance needs both proximity and a real harmonic-
-// consistency score, so extensions stop at genuine voicing ends.
-constexpr double kExtendRefineScore = 5.0;
+// consistency score (kExtendRefineScore), so extensions stop at genuine
+// voicing ends.
 
 void extend_sections(std::vector<double>* f0p,
                      const std::vector<std::vector<Cand>>& cands,
                      double tol,
                      const double* x, int nx, int fs,
-                     const std::vector<double>& frame_times) {
+                     const std::vector<double>& frame_times,
+                     double window_periods, double refine_score_gate) {
   std::vector<double>& f0 = *f0p;
   const int n = static_cast<int>(f0.size());
   // refine budget per gap: glide gaps are short (tens of ms); an unbounded
   // refine walk follows reverb tails into unvoiced territory
-  constexpr int kMaxRefineSteps = 25;
+  constexpr int kMaxRefineSteps = 120;
   auto best_match = [&](int frame, double v, int* refine_budget) -> double {
     double best = 0.0, best_err = tol;
     for (const Cand& c : cands[frame]) {
@@ -235,9 +285,9 @@ void extend_sections(std::vector<double>* f0p,
     if (best == 0.0 && x != nullptr && *refine_budget > 0) {
       const Refined r = refine_f0(x, nx, fs, frame_times[frame], v,
                                   1.0, 0.45 * fs, kRefineHarmonics,
-                                  /*iterations=*/2, kRefineWindowPeriods,
+                                  /*iterations=*/2, window_periods,
                                   /*subharmonic_check=*/true);
-      if (r.f0 > 0.0 && r.score >= kExtendRefineScore &&
+      if (r.f0 > 0.0 && r.score >= refine_score_gate &&
           std::fabs(r.f0 / v - 1.0) < tol) {
         best = r.f0;
         --*refine_budget;
@@ -275,11 +325,12 @@ void extend_sections(std::vector<double>* f0p,
 
 // Stage 5d: zero-phase 2nd-order Butterworth low-pass per voiced section,
 // edge-padded so section boundaries don't sag.
-void smooth_contour(std::vector<double>* f0p, double frame_rate_hz) {
+void smooth_contour(std::vector<double>* f0p, double frame_rate_hz,
+                    double cutoff_hz) {
   std::vector<double>& f0 = *f0p;
   const int n = static_cast<int>(f0.size());
   // bilinear-transform butterworth biquad
-  const double K = std::tan(M_PI * kSmoothCutoffHz / frame_rate_hz);
+  const double K = std::tan(M_PI * cutoff_hz / frame_rate_hz);
   const double norm = 1.0 / (1.0 + std::sqrt(2.0) * K + K * K);
   const double b0 = K * K * norm, b1 = 2.0 * b0, b2 = b0;
   const double a1 = 2.0 * (K * K - 1.0) * norm;
@@ -326,6 +377,7 @@ void harvest_body(const double* x_in, int n_in, int fs_in,
                   double frame_period_ms, double f0_floor, double f0_ceil,
                   double* f0_out, int n_frames_out) {
   const TrackParams tp = track_params();
+  const ExpParams ep = exp_params();
   // ---- decimate to ~8 kHz ----
   const int factor = std::max(1, static_cast<int>(std::round(fs_in / kTargetFs)));
   std::vector<double> x = decimate_signal(x_in, n_in, factor, fs_in);
@@ -389,6 +441,13 @@ void harvest_body(const double* x_in, int n_in, int fs_in,
   //    narrow-band noise) that are equally self-consistent;
   //  - absolutely, against the file's typical voiced level: frames whose
   //    best stack is far below it (percussion, silence) lean unvoiced.
+  // Diagnostic: HARVEST_DUMP_PRE=<path> writes every refined candidate
+  // BEFORE the score-floor/snr/amplitude gates as "i f0 score snr amp", so
+  // the offline tuner (tools/tune_harvest_joint.py) can replay the gates +
+  // stage 5 and search all TrackParams without re-running the filterbank.
+  FILE* pre_dump = nullptr;
+  if (const char* dump = std::getenv("HARVEST_DUMP_PRE"))
+    pre_dump = std::fopen(dump, "w");
   std::vector<std::vector<double>> amps(n_frames);
   for (int i = 0; i < n_frames; ++i) {
     auto& fc = cands[i];
@@ -396,8 +455,11 @@ void harvest_body(const double* x_in, int n_in, int fs_in,
     for (Cand& c : fc) {
       const Refined r = refine_f0(x.data(), n, fs, frame_times[i], c.f0,
                                   floor_adj, ceil_adj, kRefineHarmonics,
-                                  /*iterations=*/2, kRefineWindowPeriods,
+                                  /*iterations=*/2, ep.window_periods,
                                   /*subharmonic_check=*/true);
+      if (pre_dump && r.f0 > 0.0)
+        std::fprintf(pre_dump, "%d %.4f %.6f %.6f %.8g\n", i, r.f0, r.score,
+                     r.snr, std::sqrt(std::max(r.amp2, 0.0)));
       if (r.f0 > 0.0 && r.score >= tp.score_floor) {
         const double snr_w = r.snr / (r.snr + tp.snr_knee);
         fc[kept] = {r.f0, r.score * snr_w};
@@ -408,6 +470,7 @@ void harvest_body(const double* x_in, int n_in, int fs_in,
     }
     fc.resize(kept);
   }
+  if (pre_dump) std::fclose(pre_dump);
   {
     std::vector<double> frame_max(n_frames, 0.0);
     std::vector<double> nonzero;
@@ -442,7 +505,8 @@ void harvest_body(const double* x_in, int n_in, int fs_in,
   std::vector<std::vector<Cand>> overlapped(n_frames);
   for (int i = 0; i < n_frames; ++i) {
     auto& out = overlapped[i];
-    for (int d = -kOverlapFrames; d <= kOverlapFrames; ++d) {
+    const int ov = static_cast<int>(ep.overlap_frames);
+    for (int d = -ov; d <= ov; ++d) {
       const int j = i + d;
       if (j < 0 || j >= n_frames) continue;
       out.insert(out.end(), cands[j].begin(), cands[j].end());
@@ -568,10 +632,62 @@ void harvest_body(const double* x_in, int n_in, int fs_in,
   // onset/offset tails: the DP's toggle economics clip low-confidence section
   // edges; extend each section while ANY candidate continues the contour
   // (the role of the original algorithm's step-3/4 extension)
-  extend_sections(&f0, overlapped, tp.extend_tol, x.data(), n, fs, frame_times);
+  extend_sections(&f0, overlapped, tp.extend_tol, x.data(), n, fs,
+                  frame_times, ep.window_periods, ep.extend_refine_score);
   HDBG("extend: %d voiced\n", count_voiced(f0));
+  // Curvature deconvolution: the refine stage's phase-difference estimate
+  // is the amplitude-weighted AVERAGE f0 over a +-window_periods/f0 window
+  // — unbiased on linear glides but biased by m2 * f''/2 wherever the
+  // contour curves (ornament corners, vibrato extrema), with m2 the
+  // averaging kernel's second moment ~ (wp/f0)^2. Subtract the estimated
+  // bias: f_corr = f - k * (wp/f0)^2 * f'', f'' from a centred second
+  // difference of a lightly pre-smoothed copy (noise control); the final
+  // 30 Hz contour smooth runs after.
+  if (ep.curvature_k > 0.0) {
+    std::vector<double> pre(f0);
+    smooth_contour(&pre, 1000.0 / kInternalPeriodMs, 60.0);
+    const double dt = kInternalPeriodMs / 1000.0;  // seconds per frame
+    std::vector<double> corr(f0);
+    for (int i = 1; i + 1 < n_frames; ++i) {
+      if (f0[i] <= 0.0 || pre[i - 1] <= 0.0 || pre[i + 1] <= 0.0) continue;
+      const double d2 = (pre[i + 1] - 2.0 * pre[i] + pre[i - 1]) / (dt * dt);
+      const double w = ep.window_periods / std::max(pre[i], 1.0);  // seconds
+      double v = f0[i] - ep.curvature_k * w * w * d2;
+      if (v > 0.5 * f0[i] && v < 2.0 * f0[i]) corr[i] = v;
+    }
+    f0.swap(corr);
+  }
+
   if (!std::getenv("HARVEST_NO_SMOOTH"))
-    smooth_contour(&f0, 1000.0 / kInternalPeriodMs);
+    smooth_contour(&f0, 1000.0 / kInternalPeriodMs, ep.smooth_cutoff);
+
+  // Optional sharpening: re-refine each voiced frame seeded with the
+  // smoothed contour using a SHORT window, so fast ornaments the broad
+  // refine window averaged away are recovered. Acceptance is conservative:
+  // the re-estimate must stay within 20% of the seed (refine_f0's own
+  // divergence guard) and carry a positive consistency score.
+  if (ep.sharpen_window > 0.0) {
+    const std::vector<double> pre(f0);  // velocities from the pre-sharpen track
+    for (int i = 0; i < n_frames; ++i) {
+      if (f0[i] <= 0.0) continue;
+      if (ep.sharpen_vel_gate > 0.0) {
+        // local velocity in cents/frame from the smoothed track; frames in
+        // steady regions keep the broad window's lower-variance estimate
+        const double lo = pre[i > 0 && pre[i - 1] > 0.0 ? i - 1 : i];
+        const double hi = pre[i + 1 < n_frames && pre[i + 1] > 0.0 ? i + 1 : i];
+        const double vel =
+            600.0 * std::fabs(std::log2(hi / lo));  // cents per frame (x2 span)
+        if (vel < ep.sharpen_vel_gate) continue;
+      }
+      const Refined r = refine_f0(x.data(), n, fs, frame_times[i], f0[i],
+                                  floor_adj, ceil_adj, kRefineHarmonics,
+                                  /*iterations=*/2, ep.sharpen_window,
+                                  /*subharmonic_check=*/false);
+      if (r.f0 > 0.0 && r.score > 0.0 &&
+          std::fabs(r.f0 / f0[i] - 1.0) < 0.15)
+        f0[i] = r.f0;
+    }
+  }
 
   // ---- stage 6: sample the requested frame grid ----
   const double step = frame_period_ms / kInternalPeriodMs;
