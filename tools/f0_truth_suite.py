@@ -1,0 +1,331 @@
+"""Synthetic known-f0 truth suite for out-of-sample f0-extractor validation.
+
+The only pyworld-Harvest ground truth in this image is the two shipped
+sidecars (sample_content/*_f0.npy) — and the extractor's DP economics were
+FIT on those files, so accuracy measured there is in-sample (VERDICT r2
+weak #1). This tool synthesizes audio whose instantaneous f0 is known
+EXACTLY (harmonic stacks driven by phase integration of a generated f0
+contour), so voicing precision/recall and cents accuracy can be scored on
+material the tuner has never seen.
+
+Signal families (all 16 kHz):
+  - sustained notes (sawtooth-weighted harmonic stacks, vowel-ish formant
+    shapes) across [85, 950] Hz, with attack/decay envelopes
+  - slow and fast glides (up to 2 octaves/s — the regime the sidecar
+    analysis showed candidate generation missing)
+  - vibrato (4-7 Hz, 30-200 cents)
+  - natural pitch jitter: a slow random-walk contour modulation
+  - melodies: note sequences with silence gaps (voicing-boundary scoring)
+  - unvoiced-only files: white/pink noise bursts, clicks (precision)
+  - everything optionally mixed with noise at SNR {20, 10, 5} dB
+
+Truth layout matches the extractor output: frame i at t = i*hop/sr
+(hop 320 -> 20 ms), f0=0 where unvoiced. Frames within +-1 frame of a
+voicing transition, and voiced frames with f0 outside [F0_ZERO_BELOW,
+F0_CEIL], are marked don't-care and excluded from scoring — boundary
+placement is ambiguous at +-20 ms even between reference extractors.
+
+Two disjoint seeded splits: --split tune (may inform parameter fitting)
+and --split heldout (validation only — NEVER tune on it).
+
+Usage:
+  python tools/f0_truth_suite.py --out /tmp/f0suite --split heldout
+  python tools/f0_truth_suite.py --eval /tmp/f0suite --method harvest
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SR = 16000
+HOP = 320
+FRAME_S = HOP / SR
+
+
+def _envelope(n: int, attack_s: float, release_s: float, rng) -> np.ndarray:
+    """Attack/decay amplitude envelope with a mild slow wobble."""
+    t = np.arange(n) / SR
+    env = np.ones(n)
+    a = max(int(attack_s * SR), 1)
+    r = max(int(release_s * SR), 1)
+    env[:a] *= np.linspace(0.0, 1.0, a)
+    env[n - r:] *= np.linspace(1.0, 0.0, r)
+    wobble = 1.0 + 0.15 * np.sin(2 * np.pi * rng.uniform(0.3, 1.2) * t
+                                 + rng.uniform(0, 2 * np.pi))
+    return env * wobble
+
+
+def _jitter(n: int, rng, cents: float = 15.0) -> np.ndarray:
+    """Slow random-walk pitch modulation (natural jitter), as a ratio."""
+    steps = rng.standard_normal(n // 160 + 2)
+    walk = np.cumsum(steps)
+    walk -= np.linspace(walk[0], walk[-1], len(walk))  # detrend ends
+    walk /= max(np.abs(walk).max(), 1e-9)
+    dense = np.interp(np.arange(n), np.arange(len(walk)) * 160, walk)
+    return 2.0 ** (dense * cents / 1200.0)
+
+
+def _harmonic_synth(f0_track: np.ndarray, amps: np.ndarray,
+                    env: np.ndarray) -> np.ndarray:
+    """Band-limited harmonic stack driven by exact phase integration."""
+    phase = 2 * np.pi * np.cumsum(f0_track) / SR
+    out = np.zeros_like(f0_track)
+    for k, a in enumerate(amps, start=1):
+        keep = k * f0_track < 0.45 * SR
+        out += a * np.sin(k * phase) * keep
+    return out * env
+
+
+def _saw_amps(n_harm: int, rng) -> np.ndarray:
+    amps = 1.0 / np.arange(1, n_harm + 1)
+    amps *= rng.uniform(0.7, 1.3, n_harm)  # non-ideal spectrum
+    return amps / np.abs(amps).sum()
+
+
+def _vowel_amps(n_harm: int, f0: float, rng) -> np.ndarray:
+    """Formant-shaped harmonic amplitudes (two random formants)."""
+    freqs = np.arange(1, n_harm + 1) * f0
+    f1 = rng.uniform(300, 900)
+    f2 = rng.uniform(1000, 2600)
+    bw1, bw2 = rng.uniform(80, 150), rng.uniform(120, 250)
+    amps = (np.exp(-0.5 * ((freqs - f1) / bw1) ** 2)
+            + 0.6 * np.exp(-0.5 * ((freqs - f2) / bw2) ** 2) + 0.05)
+    return amps / np.abs(amps).sum()
+
+
+def _segment(kind: str, dur_s: float, rng) -> tuple[np.ndarray, np.ndarray]:
+    """-> (audio, per-sample f0 truth) for one voiced segment."""
+    n = int(dur_s * SR)
+    t = np.arange(n) / SR
+    if kind == "note":
+        base = rng.uniform(85, 900)
+        f0 = np.full(n, base)
+    elif kind == "glide":
+        lo = rng.uniform(85, 420)
+        octaves = rng.uniform(0.3, 2.0) * rng.choice([-1.0, 1.0])
+        octaves = np.clip(octaves, np.log2(82 / lo), np.log2(1000 / lo))
+        f0 = lo * 2.0 ** (octaves * t / dur_s)
+    elif kind == "fast_glide":
+        lo = rng.uniform(120, 400)
+        octaves = rng.uniform(0.5, 1.0) * rng.choice([-1.0, 1.0])
+        octaves = np.clip(octaves, np.log2(85 / lo), np.log2(980 / lo))
+        # the whole sweep happens in the middle 30% of the segment
+        s = np.clip((t / dur_s - 0.35) / 0.3, 0.0, 1.0)
+        f0 = lo * 2.0 ** (octaves * s)
+    elif kind == "vibrato":
+        base = rng.uniform(110, 700)
+        depth_cents = rng.uniform(30, 200)
+        rate = rng.uniform(4.0, 7.0)
+        f0 = base * 2.0 ** (depth_cents / 1200.0
+                            * np.sin(2 * np.pi * rate * t))
+    else:
+        raise ValueError(kind)
+    f0 = f0 * _jitter(n, rng)
+    n_harm = int(min(20, 0.45 * SR / f0.max()))
+    if rng.random() < 0.5:
+        amps = _vowel_amps(n_harm, float(np.median(f0)), rng)
+    else:
+        amps = _saw_amps(n_harm, rng)
+    env = _envelope(n, rng.uniform(0.01, 0.06), rng.uniform(0.02, 0.10), rng)
+    return _harmonic_synth(f0, amps, env), f0
+
+
+def _unvoiced(kind: str, dur_s: float, rng) -> np.ndarray:
+    n = int(dur_s * SR)
+    if kind == "silence":
+        return np.zeros(n)
+    if kind == "white":
+        return 0.1 * rng.standard_normal(n) * _envelope(n, 0.01, 0.01, rng)
+    if kind == "pink":
+        w = rng.standard_normal(n)
+        spec = np.fft.rfft(w)
+        spec /= np.maximum(np.sqrt(np.arange(len(spec)) + 1.0), 1.0)
+        return 0.2 * np.fft.irfft(spec, n) * _envelope(n, 0.01, 0.01, rng)
+    if kind == "clicks":
+        y = np.zeros(n)
+        for _ in range(int(dur_s * rng.uniform(2, 6))):
+            i = rng.integers(0, n - 80)
+            y[i:i + 80] += rng.uniform(0.2, 0.6) * np.hanning(80) \
+                * rng.standard_normal(80)
+        return y
+    raise ValueError(kind)
+
+
+def _make_file(rng, snr_db: float | None, voiced_kinds, unvoiced_kinds,
+               n_segments: int) -> tuple[np.ndarray, np.ndarray]:
+    """Melody of voiced segments separated by unvoiced gaps."""
+    audio, truth = [], []
+    for i in range(n_segments):
+        uk = unvoiced_kinds[rng.integers(len(unvoiced_kinds))]
+        gap = _unvoiced(uk, rng.uniform(0.15, 0.6), rng)
+        audio.append(gap)
+        truth.append(np.zeros(len(gap)))
+        vk = voiced_kinds[rng.integers(len(voiced_kinds))]
+        seg, f0 = _segment(vk, rng.uniform(0.5, 2.0), rng)
+        amp = rng.uniform(0.25, 0.9)
+        audio.append(amp * seg / max(np.abs(seg).max(), 1e-9))
+        truth.append(f0)
+    audio.append(np.zeros(int(0.2 * SR)))
+    truth.append(np.zeros(int(0.2 * SR)))
+    x = np.concatenate(audio)
+    f0 = np.concatenate(truth)
+    if snr_db is not None:
+        sig_p = float(np.mean(x[f0 > 0] ** 2)) if (f0 > 0).any() else 1e-4
+        noise = rng.standard_normal(len(x))
+        noise *= np.sqrt(sig_p / 10.0 ** (snr_db / 10.0))
+        x = x + noise
+    peak = np.abs(x).max()
+    if peak > 0.99:
+        x = 0.99 * x / peak
+    return x.astype(np.float32), f0
+
+
+def _truth_frames(f0_samples: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-sample truth -> (frame f0, care mask) on the 20 ms output grid."""
+    from knnsvc_tpu.dsp.f0 import F0_CEIL, F0_ZERO_BELOW
+
+    n_frames = len(f0_samples) // HOP + 1
+    idx = np.minimum(np.arange(n_frames) * HOP, len(f0_samples) - 1)
+    f0 = f0_samples[idx].copy()
+    voiced = f0 > 0
+    # don't-care: +-1 frame around voicing transitions, out-of-range voiced
+    trans = np.zeros(n_frames, bool)
+    flips = np.flatnonzero(voiced[1:] != voiced[:-1])
+    for i in flips:
+        trans[max(0, i - 1): i + 3] = True
+    out_of_range = voiced & ((f0 < F0_ZERO_BELOW) | (f0 > F0_CEIL))
+    care = ~(trans | out_of_range)
+    f0[~voiced] = 0.0
+    return f0, care
+
+
+SPLIT_SEEDS = {"tune": 1234, "heldout": 777}
+
+FILES = [
+    # (name, snr_db, voiced kinds, unvoiced kinds, n_segments)
+    ("notes_clean", None, ["note"], ["silence"], 5),
+    ("notes_noise20", 20.0, ["note"], ["silence", "white"], 5),
+    ("notes_noise10", 10.0, ["note"], ["silence", "pink"], 5),
+    ("notes_noise5", 5.0, ["note"], ["silence"], 5),
+    ("glides_clean", None, ["glide"], ["silence"], 5),
+    ("glides_noise15", 15.0, ["glide", "fast_glide"], ["silence"], 5),
+    ("fast_glides", None, ["fast_glide"], ["silence", "clicks"], 5),
+    ("vibrato_clean", None, ["vibrato"], ["silence"], 5),
+    ("vibrato_noise10", 10.0, ["vibrato"], ["pink"], 4),
+    ("melody_mixed", 25.0, ["note", "glide", "vibrato"],
+     ["silence", "white", "clicks"], 8),
+    ("melody_mixed2", None, ["note", "fast_glide", "vibrato"],
+     ["silence", "pink"], 8),
+    ("unvoiced_only", None, [], ["white", "pink", "clicks"], 0),
+]
+
+
+def generate(out_dir: str, split: str) -> None:
+    from knnsvc_tpu.io.audio import save_audio
+
+    out = Path(out_dir) / split
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(SPLIT_SEEDS[split])
+    manifest = []
+    for name, snr, vkinds, ukinds, nseg in FILES:
+        if nseg == 0:  # unvoiced-only: 6 s of noise material
+            parts = [_unvoiced(k, 2.0, rng) for k in ukinds]
+            x = np.concatenate(parts).astype(np.float32)
+            f0s = np.zeros(len(x))
+        else:
+            x, f0s = _make_file(rng, snr, vkinds, ukinds, nseg)
+        f0, care = _truth_frames(f0s)
+        save_audio(str(out / f"{name}.wav"), x, SR)
+        np.save(out / f"{name}_truth.npy", f0)
+        np.save(out / f"{name}_care.npy", care)
+        manifest.append({"name": name, "seconds": len(x) / SR,
+                         "voiced_frames": int((f0 > 0).sum()),
+                         "frames": len(f0)})
+    (out / "manifest.json").write_text(json.dumps(manifest, indent=1))
+    total = sum(m["seconds"] for m in manifest)
+    print(f"{split}: {len(manifest)} files, {total:.1f} s -> {out}")
+
+
+def evaluate(suite_dir: str, split: str, method: str,
+             per_file: bool = False) -> dict:
+    from knnsvc_tpu.io.audio import load_audio, to_mono
+
+    if method == "yin":
+        from knnsvc_tpu.dsp.f0 import yin_f0 as extract
+    else:
+        import knnsvc_tpu.dsp.harvest as h
+
+        extract = h.harvest_f0 if method == "harvest" else h.dio_f0
+
+    root = Path(suite_dir) / split
+    tp = fp = fn = 0
+    all_cents = []
+    total_audio = total_wall = 0.0
+    for wav in sorted(root.glob("*.wav")):
+        truth = np.load(wav.with_name(wav.stem + "_truth.npy"))
+        care = np.load(wav.with_name(wav.stem + "_care.npy"))
+        x, sr = load_audio(str(wav))
+        x = to_mono(x)[0]
+        t0 = time.perf_counter()
+        ours = np.asarray(extract(x, sr), dtype=np.float64)
+        total_wall += time.perf_counter() - t0
+        total_audio += len(x) / sr
+        n = min(len(ours), len(truth))
+        ours, truth_n, care_n = ours[:n], truth[:n], care[:n]
+        rv, ov = (truth_n > 0) & care_n, (ours > 0) & care_n
+        ftp = int((rv & ov).sum())
+        ffp = int((~(truth_n > 0) & care_n & (ours > 0)).sum())
+        ffn = int((rv & ~(ours > 0)).sum())
+        tp, fp, fn = tp + ftp, fp + ffp, fn + ffn
+        both = rv & ov
+        cents = (1200 * np.abs(np.log2(ours[both] / truth_n[both]))
+                 if both.any() else np.zeros(0))
+        all_cents.append(cents)
+        if per_file:
+            w50 = float((cents < 50).mean()) if len(cents) else float("nan")
+            print(f"  {wav.stem:18s} P={ftp / max(ftp + ffp, 1):.3f} "
+                  f"R={ftp / max(ftp + ffn, 1):.3f} w50={w50:.3f}")
+    cents = np.concatenate(all_cents) if all_cents else np.zeros(0)
+    return {
+        "split": split,
+        "precision": tp / max(tp + fp, 1),
+        "recall": tp / max(tp + fn, 1),
+        "within_50_cents": float((cents < 50).mean()) if len(cents) else 0.0,
+        "within_20_cents": float((cents < 20).mean()) if len(cents) else 0.0,
+        "median_cents": float(np.median(cents)) if len(cents) else 0.0,
+        "rtf": total_audio / max(total_wall, 1e-9),
+        "audio_s": total_audio,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", help="generate the suite into this directory")
+    ap.add_argument("--eval", help="evaluate an extractor against a suite dir")
+    ap.add_argument("--split", default=None, choices=["tune", "heldout"])
+    ap.add_argument("--method", default="harvest",
+                    choices=["harvest", "fast", "yin"])
+    ap.add_argument("--per-file", action="store_true")
+    args = ap.parse_args()
+    if args.out:
+        for split in ([args.split] if args.split else ["tune", "heldout"]):
+            generate(args.out, split)
+    if args.eval:
+        for split in ([args.split] if args.split else ["tune", "heldout"]):
+            stats = evaluate(args.eval, split, args.method, args.per_file)
+            for k, v in stats.items():
+                print(f"{k:>18}: {v:.4f}" if isinstance(v, float)
+                      else f"{k:>18}: {v}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
