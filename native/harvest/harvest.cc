@@ -610,6 +610,17 @@ void harvest_body(const double* x_in, int n_in, int fs_in,
       if (i > 0) j = back[i][j];
     }
   }
+  // Diagnostic (tuning harness): HARVEST_DUMP_STAGES=<path> appends the 1 ms
+  // internal track after each stage-5 substage as "<stage> <frame> <f0>".
+  FILE* stage_dump = nullptr;
+  if (const char* dump = std::getenv("HARVEST_DUMP_STAGES"))
+    stage_dump = std::fopen(dump, "w");
+  auto dump_stage = [&](const char* name, const std::vector<double>& t) {
+    if (!stage_dump) return;
+    for (int i = 0; i < n_frames; ++i)
+      if (t[i] > 0.0) std::fprintf(stage_dump, "%s %d %.4f\n", name, i, t[i]);
+  };
+  dump_stage("dp", f0);
 #ifdef HARVEST_DEBUG
   if (const char* w = std::getenv("HARVEST_DEBUG_FRAMES")) {
     int lo_f = 0, hi_f = 0;
@@ -629,12 +640,14 @@ void harvest_body(const double* x_in, int n_in, int fs_in,
 #endif
   fix_jumps_and_short_runs(&f0);
   HDBG("fix: %d voiced\n", count_voiced(f0));
+  dump_stage("fix", f0);
   // onset/offset tails: the DP's toggle economics clip low-confidence section
   // edges; extend each section while ANY candidate continues the contour
   // (the role of the original algorithm's step-3/4 extension)
   extend_sections(&f0, overlapped, tp.extend_tol, x.data(), n, fs,
                   frame_times, ep.window_periods, ep.extend_refine_score);
   HDBG("extend: %d voiced\n", count_voiced(f0));
+  dump_stage("extend", f0);
   // Curvature deconvolution: the refine stage's phase-difference estimate
   // is the amplitude-weighted AVERAGE f0 over a +-window_periods/f0 window
   // — unbiased on linear glides but biased by m2 * f''/2 wherever the
@@ -660,6 +673,8 @@ void harvest_body(const double* x_in, int n_in, int fs_in,
 
   if (!std::getenv("HARVEST_NO_SMOOTH"))
     smooth_contour(&f0, 1000.0 / kInternalPeriodMs, ep.smooth_cutoff);
+  dump_stage("smooth", f0);
+  if (stage_dump) std::fclose(stage_dump);
 
   // Optional sharpening: re-refine each voiced frame seeded with the
   // smoothed contour using a SHORT window, so fast ornaments the broad
