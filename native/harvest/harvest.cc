@@ -101,6 +101,19 @@ struct TrackParams {
   double extend_tol = 0.235;  // section extension candidate tolerance
   double snr_knee = 6.342;    // score *= snr / (snr + snr_knee)
   double rel_gamma = 1.383;   // in-frame relative amp exponent (0 disables)
+  // Round-3 structural additions (defaults = round-2 behavior):
+  // amp_floor softens the absolute amplitude gate so quiet-but-periodic
+  // frames (reverb tails, soft phrase ends — which pyworld, having no
+  // amplitude gate at all, keeps) can survive into the DP; the section
+  // filter then rejects whole voiced sections whose AGGREGATE periodicity
+  // evidence is weak — duration x median raw consistency separates what
+  // per-frame stats cannot (FN and FP frames are indistinguishable
+  // per-frame; sqrt(N) aggregation is the information gain).
+  double amp_floor = 0.0;     // quiet frames keep this fraction of score
+  double step_cap = 1.0;      // extension per-1ms-step tolerance cap
+  double sec_dur0 = 30.0;     // section-evidence duration scale (ms)
+  double sec_ev = 0.0;        // section filter threshold (0 = off)
+  double sec_amp = 0.0;       // loud sections (med amp >= this * p90) pass
 };
 
 // Experiment hook (tuning harness only): HARVEST_EXP is a comma list of up
@@ -153,12 +166,13 @@ ExpParams exp_params() {
 TrackParams track_params() {
   TrackParams p;
   if (const char* e = std::getenv("HARVEST_TUNE")) {
-    double* slots[9] = {&p.score_floor, &p.lambda, &p.toggle, &p.unvoiced,
-                        &p.cand_base, &p.energy_knee, &p.extend_tol,
-                        &p.snr_knee, &p.rel_gamma};
+    double* slots[14] = {&p.score_floor, &p.lambda, &p.toggle, &p.unvoiced,
+                         &p.cand_base, &p.energy_knee, &p.extend_tol,
+                         &p.snr_knee, &p.rel_gamma, &p.amp_floor,
+                         &p.step_cap, &p.sec_dur0, &p.sec_ev, &p.sec_amp};
     int slot = 0;
     const char* s = e;
-    while (slot < 9) {
+    while (slot < 14) {
       char* end = nullptr;
       const double v = std::strtod(s, &end);
       if (end != s) *slots[slot] = v;
@@ -174,6 +188,10 @@ TrackParams track_params() {
 struct Cand {
   double f0;
   double score;
+  // Section-level voicing evidence, carried from stage 4 through overlap
+  // sharing/dedup/DP so the post-DP section filter can aggregate it:
+  double raw = 0.0;  // consistency * snr weight, BEFORE the amplitude gates
+  double amp = 0.0;  // harmonic-stack amplitude
 };
 
 // Stage 2: one channel's raw candidate track on the 1 ms grid.
@@ -323,6 +341,43 @@ void extend_sections(std::vector<double>* f0p,
   }
 }
 
+// Stage 5c': section-level voicing filter. Per-frame gates cannot separate
+// quiet-but-periodic voiced frames (reverb tails, soft phrase ends) from
+// equally-scored false positives — their per-frame score/amp distributions
+// overlap. Aggregated over a whole voiced section, duration x median raw
+// consistency separates them: reject sections whose aggregate evidence is
+// below sec_ev UNLESS the section is loud (median amp >= sec_amp * p90).
+void section_filter(std::vector<double>* f0p, const std::vector<double>& raw,
+                    const std::vector<double>& amp, double p90,
+                    double sec_dur0, double sec_ev, double sec_amp) {
+  if (sec_ev <= 0.0) return;
+  std::vector<double>& f0 = *f0p;
+  const int n = static_cast<int>(f0.size());
+  auto median = [](std::vector<double>& v) -> double {
+    if (v.empty()) return 0.0;
+    std::sort(v.begin(), v.end());
+    const size_t m = v.size() / 2;
+    return (v.size() % 2) ? v[m] : 0.5 * (v[m - 1] + v[m]);
+  };
+  int i = 0;
+  while (i < n) {
+    if (f0[i] == 0.0) { ++i; continue; }
+    int j = i;
+    while (j < n && f0[j] > 0.0) ++j;
+    std::vector<double> r, a;
+    for (int k = i; k < j; ++k) {
+      if (raw[k] > 0.0) r.push_back(raw[k]);
+      if (amp[k] > 0.0) a.push_back(amp[k]);
+    }
+    const double med_raw = median(r);
+    const double med_amp = median(a) / std::max(p90, 1e-12);
+    const double ev = std::log1p(med_raw) * std::log1p((j - i) / sec_dur0);
+    if (ev < sec_ev && med_amp < sec_amp)
+      std::fill(f0.begin() + i, f0.begin() + j, 0.0);
+    i = j;
+  }
+}
+
 // Stage 5d: zero-phase 2nd-order Butterworth low-pass per voiced section,
 // edge-padded so section boundaries don't sag.
 void smooth_contour(std::vector<double>* f0p, double frame_rate_hz,
@@ -462,15 +517,17 @@ void harvest_body(const double* x_in, int n_in, int fs_in,
                      r.snr, std::sqrt(std::max(r.amp2, 0.0)));
       if (r.f0 > 0.0 && r.score >= tp.score_floor) {
         const double snr_w = r.snr / (r.snr + tp.snr_knee);
-        fc[kept] = {r.f0, r.score * snr_w};
+        const double a = std::sqrt(std::max(r.amp2, 0.0));
+        fc[kept] = {r.f0, r.score * snr_w, r.score * snr_w, a};
         amps[i].resize(kept + 1);
-        amps[i][kept] = std::sqrt(std::max(r.amp2, 0.0));
+        amps[i][kept] = a;
         ++kept;
       }
     }
     fc.resize(kept);
   }
   if (pre_dump) std::fclose(pre_dump);
+  double p90 = 0.0;  // file-level typical voiced stack amplitude
   {
     std::vector<double> frame_max(n_frames, 0.0);
     std::vector<double> nonzero;
@@ -478,18 +535,20 @@ void harvest_body(const double* x_in, int n_in, int fs_in,
       for (double a : amps[i]) frame_max[i] = std::max(frame_max[i], a);
       if (frame_max[i] > 0.0) nonzero.push_back(frame_max[i]);
     }
-    double p90 = 0.0;
     if (!nonzero.empty()) {
       std::sort(nonzero.begin(), nonzero.end());
       p90 = nonzero[static_cast<size_t>(0.9 * (nonzero.size() - 1))];
     }
-    const double knee = tp.energy_knee * p90;
+    const double knee = std::max(tp.energy_knee * p90, 1e-12);
     for (int i = 0; i < n_frames; ++i) {
       const double fmax = std::max(frame_max[i], 1e-12);
       for (size_t k = 0; k < cands[i].size(); ++k) {
         const double a = amps[i][k];
+        // amp_floor: quiet frames keep a floor fraction of their score
+        // instead of ~0, so quiet-but-periodic sections can form at all
+        // (the section filter downstream protects precision)
         cands[i][k].score *= std::pow(a / fmax, tp.rel_gamma) *
-                             (a / (a + std::max(knee, 1e-12)));
+                             ((a + tp.amp_floor * knee) / (a + knee));
       }
     }
   }
@@ -600,13 +659,22 @@ void harvest_body(const double* x_in, int n_in, int fs_in,
   }
 
   std::vector<double> f0(n_frames, 0.0);
+  // DP-time evidence of the selected candidate, for the section filter
+  // (indexed by frame; later fix/extend edits do not rewrite these — a
+  // frame zeroed by fix but re-filled by extension still contributes its
+  // DP evidence to its section's aggregate, matching the offline replay)
+  std::vector<double> sel_raw(n_frames, 0.0), sel_amp(n_frames, 0.0);
   {
     const auto& last = cost[n_frames - 1];
     int j = static_cast<int>(
         std::min_element(last.begin(), last.end()) - last.begin());
     for (int i = n_frames - 1; i >= 0; --i) {
       const int m = static_cast<int>(overlapped[i].size());
-      f0[i] = (j < m) ? overlapped[i][j].f0 : 0.0;
+      if (j < m) {
+        f0[i] = overlapped[i][j].f0;
+        sel_raw[i] = overlapped[i][j].raw;
+        sel_amp[i] = overlapped[i][j].amp;
+      }
       if (i > 0) j = back[i][j];
     }
   }
@@ -644,10 +712,18 @@ void harvest_body(const double* x_in, int n_in, int fs_in,
   // onset/offset tails: the DP's toggle economics clip low-confidence section
   // edges; extend each section while ANY candidate continues the contour
   // (the role of the original algorithm's step-3/4 extension)
-  extend_sections(&f0, overlapped, tp.extend_tol, x.data(), n, fs,
-                  frame_times, ep.window_periods, ep.extend_refine_score);
+  // step_cap bounds the tolerance PER 1-ms STEP: a loose section-level
+  // extend_tol lets the walk accept values hundreds of cents off in one
+  // step, which was the main source of 150-450 cent errors in round 2
+  extend_sections(&f0, overlapped, std::min(tp.extend_tol, tp.step_cap),
+                  x.data(), n, fs, frame_times, ep.window_periods,
+                  ep.extend_refine_score);
   HDBG("extend: %d voiced\n", count_voiced(f0));
   dump_stage("extend", f0);
+  section_filter(&f0, sel_raw, sel_amp, p90, tp.sec_dur0, tp.sec_ev,
+                 tp.sec_amp);
+  HDBG("secfilt: %d voiced\n", count_voiced(f0));
+  dump_stage("secfilt", f0);
   // Curvature deconvolution: the refine stage's phase-difference estimate
   // is the amplitude-weighted AVERAGE f0 over a +-window_periods/f0 window
   // — unbiased on linear glides but biased by m2 * f''/2 wherever the

@@ -251,6 +251,11 @@ def build_static(npz_path: Path, floor: float, ov: int) -> FileData:
 def make_scorer(fd: FileData):
     """-> jitted fn(params) -> (sel_f0 (N,), live_f0 (N,K), live_sc (N,K))."""
     import jax
+
+    # sitecustomize re-registers the axon plugin and overrides JAX_PLATFORMS
+    # at interpreter start; config.update is the reliable CPU pin (conftest).
+    if jax.config.jax_platforms != "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     base_sc = jnp.asarray(fd.base_sc, jnp.float32)
