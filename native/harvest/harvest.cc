@@ -114,6 +114,14 @@ struct TrackParams {
   double sec_dur0 = 30.0;     // section-evidence duration scale (ms)
   double sec_ev = 0.0;        // section filter threshold (0 = off)
   double sec_amp = 0.0;       // loud sections (med amp >= this * p90) pass
+  // share_decay: overlap sharing copies candidates +-ov frames with their
+  // (by-then stale) f0 — in fast regions 2 ms of staleness is 100+ cents.
+  // Decaying shared scores by distance lets the frame's own fresh candidate
+  // win the dedup and the DP. jump_cap Huber-caps the DP transition cost:
+  // genuine fast glides need large per-ms jumps; an uncapped linear cost
+  // makes the DP prefer a stale/wrong nearby candidate over the true move.
+  double share_decay = 1.0;   // per-frame-of-distance score decay (1 = off)
+  double jump_cap = 10.0;     // max |dlog2 f0| charged per 1-ms step
 };
 
 // Experiment hook (tuning harness only): HARVEST_EXP is a comma list of up
@@ -166,13 +174,14 @@ ExpParams exp_params() {
 TrackParams track_params() {
   TrackParams p;
   if (const char* e = std::getenv("HARVEST_TUNE")) {
-    double* slots[14] = {&p.score_floor, &p.lambda, &p.toggle, &p.unvoiced,
+    double* slots[16] = {&p.score_floor, &p.lambda, &p.toggle, &p.unvoiced,
                          &p.cand_base, &p.energy_knee, &p.extend_tol,
                          &p.snr_knee, &p.rel_gamma, &p.amp_floor,
-                         &p.step_cap, &p.sec_dur0, &p.sec_ev, &p.sec_amp};
+                         &p.step_cap, &p.sec_dur0, &p.sec_ev, &p.sec_amp,
+                         &p.share_decay, &p.jump_cap};
     int slot = 0;
     const char* s = e;
-    while (slot < 14) {
+    while (slot < 16) {
       char* end = nullptr;
       const double v = std::strtod(s, &end);
       if (end != s) *slots[slot] = v;
@@ -568,7 +577,13 @@ void harvest_body(const double* x_in, int n_in, int fs_in,
     for (int d = -ov; d <= ov; ++d) {
       const int j = i + d;
       if (j < 0 || j >= n_frames) continue;
-      out.insert(out.end(), cands[j].begin(), cands[j].end());
+      // stale-candidate decay (see TrackParams::share_decay)
+      const double decay = std::pow(tp.share_decay, std::abs(d));
+      for (const Cand& c : cands[j]) {
+        Cand cc = c;
+        cc.score *= decay;
+        out.push_back(cc);
+      }
     }
   }
 
@@ -644,7 +659,8 @@ void harvest_body(const double* x_in, int n_in, int fs_in,
         double trans;
         const bool v_now = j < m, v_prev = pj < pm;
         if (v_now && v_prev) {
-          trans = kLambda * std::fabs(std::log2(fc[j].f0 / pc[pj].f0));
+          trans = kLambda * std::min(
+              std::fabs(std::log2(fc[j].f0 / pc[pj].f0)), tp.jump_cap);
         } else if (v_now != v_prev) {
           trans = kToggle;
         } else {
