@@ -122,6 +122,16 @@ struct TrackParams {
   // makes the DP prefer a stale/wrong nearby candidate over the true move.
   double share_decay = 1.0;   // per-frame-of-distance score decay (1 = off)
   double jump_cap = 10.0;     // max |dlog2 f0| charged per 1-ms step
+  // Round-3 value-dynamics stages (see stage-5 pipeline below). Offline
+  // stage attribution showed the residual >50-cent errors vs pyworld are
+  // scattered value misses, not voicing errors; these three stages re-walk
+  // VALUES while leaving the DP's voicing decisions alone.
+  double chain_tol = 0.0;     // within-section nearest-candidate re-walk
+                              // (|dlog2| tolerance per 1-ms step; 0 = off)
+  double cons_tol = 0.0;      // consensus extension: fw/bw agreement bound
+                              // (|dlog2|; 0 = legacy sequential extension)
+  double snap_tol = 0.0;      // post-extension snap to the frame's own
+                              // nearest candidate (|dlog2|; 0 = off)
 };
 
 // Experiment hook (tuning harness only): HARVEST_EXP is a comma list of up
@@ -174,14 +184,15 @@ ExpParams exp_params() {
 TrackParams track_params() {
   TrackParams p;
   if (const char* e = std::getenv("HARVEST_TUNE")) {
-    double* slots[16] = {&p.score_floor, &p.lambda, &p.toggle, &p.unvoiced,
+    double* slots[19] = {&p.score_floor, &p.lambda, &p.toggle, &p.unvoiced,
                          &p.cand_base, &p.energy_knee, &p.extend_tol,
                          &p.snr_knee, &p.rel_gamma, &p.amp_floor,
                          &p.step_cap, &p.sec_dur0, &p.sec_ev, &p.sec_amp,
-                         &p.share_decay, &p.jump_cap};
+                         &p.share_decay, &p.jump_cap, &p.chain_tol,
+                         &p.cons_tol, &p.snap_tol};
     int slot = 0;
     const char* s = e;
-    while (slot < 16) {
+    while (slot < 19) {
       char* end = nullptr;
       const double v = std::strtod(s, &end);
       if (end != s) *slots[slot] = v;
@@ -347,6 +358,164 @@ void extend_sections(std::vector<double>* f0p,
       f0[j] = m;
       v = m;
     }
+  }
+}
+
+// Stage 5b': within-section nearest-candidate value chain. The DP fixes the
+// voicing and register; values are then re-walked from each section's most
+// reliable frame (max DP evidence), both directions, replacing each frame's
+// value with its OWN candidate nearest the chained predecessor when one is
+// within chain_tol (|dlog2|) — the original algorithm's step-3/4 hysteresis
+// applied inside sections, which recovers fresh per-frame measurements the
+// overlap sharing and DP economics averaged away.
+void chain_values(std::vector<double>* f0p, const std::vector<double>& sel_raw,
+                  const std::vector<std::vector<Cand>>& own,
+                  double chain_tol) {
+  std::vector<double>& f0 = *f0p;
+  const int n = static_cast<int>(f0.size());
+  auto step = [&](int j, double prev) -> double {
+    double best = f0[j], best_err = chain_tol;
+    for (const Cand& c : own[j]) {
+      if (c.f0 <= 0.0) continue;
+      const double err = std::fabs(std::log2(c.f0 / prev));
+      if (err < best_err) { best_err = err; best = c.f0; }
+    }
+    return best;
+  };
+  int i = 0;
+  while (i < n) {
+    if (f0[i] == 0.0) { ++i; continue; }
+    int j = i;
+    int seed = i;
+    while (j < n && f0[j] > 0.0) {
+      if (sel_raw[j] > sel_raw[seed]) seed = j;
+      ++j;
+    }
+    double prev = f0[seed];
+    for (int k = seed + 1; k < j; ++k) prev = f0[k] = step(k, prev);
+    prev = f0[seed];
+    for (int k = seed - 1; k >= i; --k) prev = f0[k] = step(k, prev);
+    i = j;
+  }
+}
+
+// Stage 5c (consensus variant): extension with bidirectional arbitration.
+// The legacy extension fills each gap forward first, then backward from the
+// next section — so whichever side reaches a frame first claims it, and a
+// wrong-register section spreads its values across the gap the moment the
+// other walk stops. Here both walks run independently over every gap; where
+// they agree (|dlog2| < cons_tol) the forward value is taken, where they
+// conflict the side whose SECTION carries more DP evidence wins, and frames
+// only one side reaches keep that side's value (legacy behavior).
+void consensus_extend(std::vector<double>* f0p,
+                      const std::vector<std::vector<Cand>>& cands,
+                      double tol, double cons_tol,
+                      const std::vector<double>& sel_raw,
+                      const double* x, int nx, int fs,
+                      const std::vector<double>& frame_times,
+                      double window_periods, double refine_score_gate) {
+  std::vector<double>& f0 = *f0p;
+  const int n = static_cast<int>(f0.size());
+  constexpr int kMaxRefineSteps = 120;
+  auto best_match = [&](int frame, double v, int* refine_budget) -> double {
+    double best = 0.0, best_err = tol;
+    for (const Cand& c : cands[frame]) {
+      if (c.score <= 0.0) continue;
+      const double err = std::fabs(c.f0 / v - 1.0);
+      if (err < best_err) { best_err = err; best = c.f0; }
+    }
+    if (best == 0.0 && x != nullptr && *refine_budget > 0) {
+      const Refined r = refine_f0(x, nx, fs, frame_times[frame], v,
+                                  1.0, 0.45 * fs, kRefineHarmonics,
+                                  /*iterations=*/2, window_periods,
+                                  /*subharmonic_check=*/true);
+      if (r.f0 > 0.0 && r.score >= refine_score_gate &&
+          std::fabs(r.f0 / v - 1.0) < tol) {
+        best = r.f0;
+        --*refine_budget;
+      }
+    }
+    return best;
+  };
+  // sections + per-section DP evidence
+  std::vector<int> sec_start, sec_end;
+  std::vector<double> sec_rel;
+  int i = 0;
+  while (i < n) {
+    if (f0[i] == 0.0) { ++i; continue; }
+    int j = i;
+    double rel = 1e-9;
+    while (j < n && f0[j] > 0.0) {
+      if (sel_raw[j] > 0.0) rel += sel_raw[j];
+      ++j;
+    }
+    sec_start.push_back(i);
+    sec_end.push_back(j);
+    sec_rel.push_back(rel);
+    i = j;
+  }
+  const int ns = static_cast<int>(sec_start.size());
+  if (ns == 0) return;
+  std::vector<double> fw, bw;
+  for (int g = -1; g < ns; ++g) {
+    const int s = (g < 0) ? 0 : sec_end[g];
+    const int e = (g + 1 < ns) ? sec_start[g + 1] : n;
+    if (s >= e) continue;
+    const int ln = e - s;
+    fw.assign(ln, 0.0);
+    bw.assign(ln, 0.0);
+    if (g >= 0) {
+      double v = f0[sec_end[g] - 1];
+      int budget = kMaxRefineSteps;
+      for (int t = 0; t < ln && t < kMaxExtend; ++t) {
+        const double m = best_match(s + t, v, &budget);
+        if (m == 0.0) break;
+        fw[t] = v = m;
+      }
+    }
+    if (g + 1 < ns) {
+      double v = f0[sec_start[g + 1]];
+      int budget = kMaxRefineSteps;
+      for (int t = 0; t < ln && t < kMaxExtend; ++t) {
+        const double m = best_match(e - 1 - t, v, &budget);
+        if (m == 0.0) break;
+        bw[ln - 1 - t] = v = m;
+      }
+    }
+    const bool fwd_wins =
+        g >= 0 && (g + 1 >= ns || sec_rel[g] >= sec_rel[g + 1]);
+    for (int t = 0; t < ln; ++t) {
+      if (fw[t] > 0.0 && bw[t] > 0.0) {
+        if (std::fabs(std::log2(fw[t] / bw[t])) < cons_tol)
+          f0[s + t] = fw[t];
+        else
+          f0[s + t] = fwd_wins ? fw[t] : bw[t];
+      } else if (fw[t] > 0.0) {
+        f0[s + t] = fw[t];
+      } else if (bw[t] > 0.0) {
+        f0[s + t] = bw[t];
+      }
+    }
+  }
+}
+
+// Stage 5c'': post-extension snap. Replace each voiced value with the
+// frame's own nearest candidate when within snap_tol (|dlog2|) — extension
+// walks and chained values land between candidates; the frame's own fresh
+// measurement is the better estimate of what the original reports.
+void snap_values(std::vector<double>* f0p,
+                 const std::vector<std::vector<Cand>>& own, double snap_tol) {
+  std::vector<double>& f0 = *f0p;
+  const int n = static_cast<int>(f0.size());
+  for (int i = 0; i < n; ++i) {
+    if (f0[i] <= 0.0) continue;
+    double best = f0[i], best_err = snap_tol;
+    for (const Cand& c : own[i]) {
+      if (c.f0 <= 0.0) continue;
+      const double err = std::fabs(std::log2(c.f0 / f0[i]));
+      if (err < best_err) { best_err = err; best = c.f0; }
+    }
+    f0[i] = best;
   }
 }
 
@@ -725,17 +894,33 @@ void harvest_body(const double* x_in, int n_in, int fs_in,
   fix_jumps_and_short_runs(&f0);
   HDBG("fix: %d voiced\n", count_voiced(f0));
   dump_stage("fix", f0);
+  // value re-walk inside the DP's sections (stage 5b', see chain_values)
+  if (tp.chain_tol > 0.0) {
+    chain_values(&f0, sel_raw, cands, tp.chain_tol);
+    dump_stage("chain", f0);
+  }
   // onset/offset tails: the DP's toggle economics clip low-confidence section
   // edges; extend each section while ANY candidate continues the contour
   // (the role of the original algorithm's step-3/4 extension)
   // step_cap bounds the tolerance PER 1-ms STEP: a loose section-level
   // extend_tol lets the walk accept values hundreds of cents off in one
   // step, which was the main source of 150-450 cent errors in round 2
-  extend_sections(&f0, overlapped, std::min(tp.extend_tol, tp.step_cap),
-                  x.data(), n, fs, frame_times, ep.window_periods,
-                  ep.extend_refine_score);
+  if (tp.cons_tol > 0.0) {
+    consensus_extend(&f0, overlapped, std::min(tp.extend_tol, tp.step_cap),
+                     tp.cons_tol, sel_raw, x.data(), n, fs, frame_times,
+                     ep.window_periods, ep.extend_refine_score);
+  } else {
+    extend_sections(&f0, overlapped, std::min(tp.extend_tol, tp.step_cap),
+                    x.data(), n, fs, frame_times, ep.window_periods,
+                    ep.extend_refine_score);
+  }
   HDBG("extend: %d voiced\n", count_voiced(f0));
   dump_stage("extend", f0);
+  // post-extension snap to the frame's own nearest candidate (stage 5c'')
+  if (tp.snap_tol > 0.0) {
+    snap_values(&f0, cands, tp.snap_tol);
+    dump_stage("snap", f0);
+  }
   section_filter(&f0, sel_raw, sel_amp, p90, tp.sec_dur0, tp.sec_ev,
                  tp.sec_amp);
   HDBG("secfilt: %d voiced\n", count_voiced(f0));
