@@ -29,18 +29,29 @@
 //      with a log-pitch continuity prior and voicing-toggle penalty
 //      (replacing the original's greedy best-score + iterative fix steps —
 //      same role, more robust through transition regions), then jump/short-
-//      run removal, section extension through the candidate sets, and
+//      run removal, a within-section nearest-candidate value re-walk
+//      (chain_values), consensus gap extension (both directions walk, DP
+//      evidence arbitrates conflicts), a post-extension snap to each
+//      frame's own nearest candidate, a section-level voicing filter, and
 //      zero-phase low-pass smoothing per voiced section.
 //   6. The 1 ms internal track is sampled at the requested frame period.
 //
-// Measured against the two shipped Harvest sidecars (tools/f0_accuracy.py,
-// full length): voicing precision .953 / recall .891, 87% of co-voiced
-// frames within 50 cents, median deviation 3.4 cents, ~6-7x realtime on one
-// core. Tuning provenance: DP economics + refine/amp gates fit with
-// tools/tune_harvest_dp.py (offline stage-5 replay on dumped candidate
-// sets) then a binary-in-the-loop pass; refine-seeded section extension
-// recovers glide frames candidate generation misses. Residual disagreement
-// concentrates on fast pitch glides and near-silent reverb tails.
+// Measured (round 3, tools/f0_accuracy.py full length): vs the two shipped
+// pyworld sidecars P .953 / R .929 / 88% of co-voiced frames within 50
+// cents / median 1.8 cents; vs the HELD-OUT synthetic known-f0 suite
+// (tools/f0_truth_suite.py --split heldout, never tuned on) P .991 /
+// R .996 / 94% within 50 cents / median 0.34 cents. ~5.5x realtime on one
+// core. Tuning provenance: joint offline replay fit (tools/
+// tune_harvest_joint.py, sidecars + the DISJOINT tune split of the
+// synthetic suite), winning vectors re-measured through this binary.
+//
+// Residual sidecar disagreement is characterized, not tunable-away: the
+// >50-cent tail is scattered single-frame 50-180c misses at ornaments
+// where pyworld's interval-based candidate VALUES wobble with values our
+// filterbank never proposes (candidate-oracle w50 vs pyworld: .78 exact-
+// frame, .93-.96 within +-4 ms, for every refine-window config tried).
+// Closing it would mean reproducing pyworld's exact channel/interval
+// machinery rather than the published algorithm.
 
 #include <algorithm>
 #include <cmath>
@@ -70,18 +81,23 @@ constexpr int kMinRunChannels = 2;           // official candidate = >= 2 channe
 constexpr size_t kMaxCandidates = 12;        // per frame, before overlap
 constexpr int kOverlapFrames = 2;
 constexpr int kRefineHarmonics = 6;
-// half-window, in periods: 3 keeps the single-bin DFT's negative-frequency
-// leakage bias under ~2 cents (1.5 biases a pure tone ~30 cents flat, and
-// the frame-to-frame jitter of that bias trips the jump-removal fix)
-constexpr double kRefineWindowPeriods = 3.0;
+// half-window, in periods. 1.5 biases a pure tone ~30 cents flat (single-
+// bin DFT negative-frequency leakage) and its frame-to-frame jitter trips
+// the jump-removal fix; 2.0 keeps the bias small enough (held-out synthetic
+// suite: median 0.34 cents) while tracking ornaments a 3.0 window averages
+// away — the round-3 joint re-fit (sidecars + tune-split suite) moved the
+// whole economy to the 2.0 dumps.
+constexpr double kRefineWindowPeriods = 2.0;
 constexpr double kNeighborTolerance = 0.05;
 constexpr double kStep1AllowedRange = 0.008; // max relative jump per 1 ms
 constexpr int kMinVoicedRun = 9;             // 1-ms frames
 constexpr double kExtendTolerance = 0.09;
 constexpr int kMaxExtend = 400;              // 1-ms frames per direction
 constexpr double kSmoothCutoffHz = 30.0;     // contour low-pass (1 kHz frame rate)
-// Stage-5c refine-backstop score gate (see extend_sections)
-constexpr double kExtendRefineScore = 5.0;
+// Stage-5c refine-backstop score gate (see extend_sections). 2.0 accepts
+// the quiet section-edge tails that are the main recall loss (5.0 stops
+// ~2 pt of recall early; below ~1.2 precision pays 1:1 for the recall).
+constexpr double kExtendRefineScore = 2.0;
 
 
 // Tuning-harness override: HARVEST_TUNE="score_floor,lambda,toggle,unvoiced,
@@ -92,15 +108,17 @@ struct TrackParams {
   // DP economics re-fit offline against the pyworld sidecars with
   // tools/tune_harvest_dp.py (candidate sets dumped once, stage 5 replayed):
   // P .931/.857/w50 .859 (old) -> .940/.896/.871 on the sample pair.
-  double score_floor = 1.277; // refinement consistency gate
-  double lambda = 6.729;      // DP: cost per octave of jump per 1-ms step
-  double toggle = 4.0;        // DP: voiced <-> unvoiced switch
-  double unvoiced = 0.262;    // DP: staying unvoiced, per frame
-  double cand_base = 0.766;   // DP: local cost = base / (base + score)
-  double energy_knee = 0.13;  // absolute gate: knee * p90(stack amp)
-  double extend_tol = 0.235;  // section extension candidate tolerance
-  double snr_knee = 6.342;    // score *= snr / (snr + snr_knee)
-  double rel_gamma = 1.383;   // in-frame relative amp exponent (0 disables)
+  double score_floor = 1.0;      // refinement consistency gate
+  double lambda = 21.2606;       // DP: cost per octave of jump per 1-ms step
+  double toggle = 8.3415;        // DP: voiced <-> unvoiced switch
+  double unvoiced = 0.455055;    // DP: staying unvoiced, per frame
+  double cand_base = 0.809489;   // DP: local cost = base / (base + score)
+  double energy_knee = 0.000701233;  // absolute gate: knee * p90(stack amp)
+                                 // (~off: pyworld has no amplitude gate,
+                                 // and the gate was the round-2 recall cap)
+  double extend_tol = 0.224872;  // section extension candidate tolerance
+  double snr_knee = 15.504;      // score *= snr / (snr + snr_knee)
+  double rel_gamma = 2.44817;    // in-frame relative amp exponent (0 disables)
   // Round-3 structural additions (defaults = round-2 behavior):
   // amp_floor softens the absolute amplitude gate so quiet-but-periodic
   // frames (reverb tails, soft phrase ends — which pyworld, having no
@@ -109,11 +127,11 @@ struct TrackParams {
   // evidence is weak — duration x median raw consistency separates what
   // per-frame stats cannot (FN and FP frames are indistinguishable
   // per-frame; sqrt(N) aggregation is the information gain).
-  double amp_floor = 0.0;     // quiet frames keep this fraction of score
-  double step_cap = 1.0;      // extension per-1ms-step tolerance cap
-  double sec_dur0 = 30.0;     // section-evidence duration scale (ms)
-  double sec_ev = 0.0;        // section filter threshold (0 = off)
-  double sec_amp = 0.0;       // loud sections (med amp >= this * p90) pass
+  double amp_floor = 0.173714;   // quiet frames keep this fraction of score
+  double step_cap = 1.0;         // extension per-1ms-step tolerance cap
+  double sec_dur0 = 36.4327;     // section-evidence duration scale (ms)
+  double sec_ev = 0.00664768;    // section filter threshold (0 = off)
+  double sec_amp = 0.005;        // loud sections (med amp >= this * p90) pass
   // share_decay: overlap sharing copies candidates +-ov frames with their
   // (by-then stale) f0 — in fast regions 2 ms of staleness is 100+ cents.
   // Decaying shared scores by distance lets the frame's own fresh candidate
@@ -126,12 +144,12 @@ struct TrackParams {
   // stage attribution showed the residual >50-cent errors vs pyworld are
   // scattered value misses, not voicing errors; these three stages re-walk
   // VALUES while leaving the DP's voicing decisions alone.
-  double chain_tol = 0.0;     // within-section nearest-candidate re-walk
-                              // (|dlog2| tolerance per 1-ms step; 0 = off)
-  double cons_tol = 0.0;      // consensus extension: fw/bw agreement bound
-                              // (|dlog2|; 0 = legacy sequential extension)
-  double snap_tol = 0.0;      // post-extension snap to the frame's own
-                              // nearest candidate (|dlog2|; 0 = off)
+  double chain_tol = 0.104769;   // within-section nearest-candidate re-walk
+                                 // (|dlog2| tolerance per 1-ms step; 0 = off)
+  double cons_tol = 0.0694164;   // consensus extension: fw/bw agreement bound
+                                 // (|dlog2|; 0 = legacy sequential extension)
+  double snap_tol = 0.060506;    // post-extension snap to the frame's own
+                                 // nearest candidate (|dlog2|; 0 = off)
 };
 
 // Experiment hook (tuning harness only): HARVEST_EXP is a comma list of up
@@ -157,18 +175,24 @@ struct ExpParams {
   double curvature_k = 0.0;
   double extend_refine_score = kExtendRefineScore;
   double sharpen_vel_gate = 0.0;
+  // Tier-2 extension acceptance: section-edge tails (the main recall loss)
+  // often refine to a LOW consistency score (quiet) but continue the
+  // contour very tightly; accept score >= ext_gate2 when the continuation
+  // is within 0.3x the normal tolerance. Reverb junk drifts and misses the
+  // tight band. 0 = off.
+  double ext_gate2 = 0.0;
 };
 
 ExpParams exp_params() {
   ExpParams p;
   if (const char* e = std::getenv("HARVEST_EXP")) {
-    double* slots[7] = {&p.window_periods, &p.overlap_frames,
+    double* slots[8] = {&p.window_periods, &p.overlap_frames,
                         &p.smooth_cutoff, &p.sharpen_window,
                         &p.curvature_k, &p.extend_refine_score,
-                        &p.sharpen_vel_gate};
+                        &p.sharpen_vel_gate, &p.ext_gate2};
     int slot = 0;
     const char* s = e;
-    while (slot < 7) {
+    while (slot < 8) {
       char* end = nullptr;
       const double v = std::strtod(s, &end);
       if (end != s) *slots[slot] = v;
@@ -307,7 +331,8 @@ void extend_sections(std::vector<double>* f0p,
                      double tol,
                      const double* x, int nx, int fs,
                      const std::vector<double>& frame_times,
-                     double window_periods, double refine_score_gate) {
+                     double window_periods, double refine_score_gate,
+                     double refine_gate2) {
   std::vector<double>& f0 = *f0p;
   const int n = static_cast<int>(f0.size());
   // refine budget per gap: glide gaps are short (tens of ms); an unbounded
@@ -325,8 +350,11 @@ void extend_sections(std::vector<double>* f0p,
                                   1.0, 0.45 * fs, kRefineHarmonics,
                                   /*iterations=*/2, window_periods,
                                   /*subharmonic_check=*/true);
-      if (r.f0 > 0.0 && r.score >= refine_score_gate &&
-          std::fabs(r.f0 / v - 1.0) < tol) {
+      const double prox = r.f0 > 0.0 ? std::fabs(r.f0 / v - 1.0) : 1e9;
+      const bool tier1 = r.score >= refine_score_gate && prox < tol;
+      const bool tier2 = refine_gate2 > 0.0 && r.score >= refine_gate2 &&
+                         prox < 0.3 * tol;
+      if (tier1 || tier2) {
         best = r.f0;
         --*refine_budget;
       }
@@ -413,7 +441,8 @@ void consensus_extend(std::vector<double>* f0p,
                       const std::vector<double>& sel_raw,
                       const double* x, int nx, int fs,
                       const std::vector<double>& frame_times,
-                      double window_periods, double refine_score_gate) {
+                      double window_periods, double refine_score_gate,
+                      double refine_gate2) {
   std::vector<double>& f0 = *f0p;
   const int n = static_cast<int>(f0.size());
   constexpr int kMaxRefineSteps = 120;
@@ -429,8 +458,11 @@ void consensus_extend(std::vector<double>* f0p,
                                   1.0, 0.45 * fs, kRefineHarmonics,
                                   /*iterations=*/2, window_periods,
                                   /*subharmonic_check=*/true);
-      if (r.f0 > 0.0 && r.score >= refine_score_gate &&
-          std::fabs(r.f0 / v - 1.0) < tol) {
+      const double prox = r.f0 > 0.0 ? std::fabs(r.f0 / v - 1.0) : 1e9;
+      const bool tier1 = r.score >= refine_score_gate && prox < tol;
+      const bool tier2 = refine_gate2 > 0.0 && r.score >= refine_gate2 &&
+                         prox < 0.3 * tol;
+      if (tier1 || tier2) {
         best = r.f0;
         --*refine_budget;
       }
@@ -908,11 +940,12 @@ void harvest_body(const double* x_in, int n_in, int fs_in,
   if (tp.cons_tol > 0.0) {
     consensus_extend(&f0, overlapped, std::min(tp.extend_tol, tp.step_cap),
                      tp.cons_tol, sel_raw, x.data(), n, fs, frame_times,
-                     ep.window_periods, ep.extend_refine_score);
+                     ep.window_periods, ep.extend_refine_score,
+                     ep.ext_gate2);
   } else {
     extend_sections(&f0, overlapped, std::min(tp.extend_tol, tp.step_cap),
                     x.data(), n, fs, frame_times, ep.window_periods,
-                    ep.extend_refine_score);
+                    ep.extend_refine_score, ep.ext_gate2);
   }
   HDBG("extend: %d voiced\n", count_voiced(f0));
   dump_stage("extend", f0);

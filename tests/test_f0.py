@@ -90,15 +90,16 @@ def test_worldline_matches_shipped_harvest_sidecar(sample_content):
     both = (ours > 0) & (ref > 0)
     assert both.sum() > 200
     cents = 1200 * np.abs(np.log2(ours[both] / ref[both]))
-    # achieved parity grade (see native/harvest/harvest.cc header): median
-    # ~3 cents, >=82% of co-voiced frames within 50 cents on this slice
-    assert np.median(cents) < 6.0
-    assert (cents < 50).mean() > 0.80
+    # achieved grade (see native/harvest/harvest.cc header): full-pair
+    # numbers P .953 / R .929 / 88% within 50 cents / median 1.8 cents;
+    # bounds below are looser because this is a 15-s slice of one file
+    assert np.median(cents) < 4.0
+    assert (cents < 50).mean() > 0.84
     # voicing agreement
     rv, ov = ref > 0, ours > 0
     precision = (rv & ov).sum() / ov.sum()
     recall = (rv & ov).sum() / rv.sum()
-    assert precision > 0.85 and recall > 0.80, (precision, recall)
+    assert precision > 0.88 and recall > 0.85, (precision, recall)
 
 
 def test_fast_method_does_not_poison_parity_sidecar(tmp_path):
