@@ -76,6 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "~10x lower pair latency / ~3x bulk throughput on "
                              "tunneled setups; identical selections for "
                              "--matcher exact)")
+    parser.add_argument("--stream_chunk_s", type=float, default=None,
+                        help="pair mode only: convert through the streaming "
+                             "path in chunks of this many seconds (bounded "
+                             "latency; see KnnSvc.stream_convert_chunks)")
+    parser.add_argument("--stream_context_s", type=float, default=1.0,
+                        help="lookahead/lookback context per streamed chunk")
     return parser
 
 
@@ -99,6 +105,17 @@ def main(argv=None) -> int:
     loudness = args.tgt_loudness_db if args.apply_loudness else None
 
     if src_is_file and tgt_is_file:
+        if args.stream_chunk_s is not None:
+            out = knn.stream_convert(
+                args.src, args.tgt, output_path=args.out,
+                tgt_loudness_db=loudness, chunk_s=args.stream_chunk_s,
+                context_s=args.stream_context_s, topk=args.topk,
+                prioritize_f0=args.prioritize_f0, post_opt=args.post_opt,
+                matcher=("approx" if args.matcher not in ("exact", "approx")
+                         else args.matcher),
+            )
+            print("->", out)
+            return 0
         out = knn.convert_pair(
             args.src, args.tgt, topk=args.topk, prioritize_f0=args.prioritize_f0,
             post_opt=args.post_opt, tgt_loudness_db=loudness, matcher=args.matcher,

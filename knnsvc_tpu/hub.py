@@ -455,6 +455,128 @@ class KnnSvc:
         save_audio(output_path, pred, self.sr)
         return output_path
 
+    # ---------------------------------------------------------- streaming
+
+    def stream_convert_chunks(self, src, ref_wav_file: str,
+                              chunk_s: float = 2.0, context_s: float = 1.0,
+                              topk: int = 4, prioritize_f0: bool = True,
+                              post_opt: str = "no_post_opt",
+                              matcher: str = "approx",
+                              vocode_margin_frames: int = 16):
+        """Streaming conversion: yield successive converted waveform chunks
+        of `chunk_s` seconds with `context_s` of lookahead/lookback context.
+        No reference analogue — the reference converts whole utterances only
+        (ref ddsp_matcher.py:937-1023); this is the framework's low-latency
+        serving mode. Algorithmic latency = chunk_s + context_s; at the
+        measured ~95x-RT single-chip throughput a 2 s + 1 s window leaves
+        the pipeline comfortably ahead of realtime.
+
+        Per chunk: encode [chunk +- context] (WavLM attention sees the full
+        window, so boundary frames keep near-utterance context), match ALL
+        window frames against the prepared target pool, then vocode the
+        center slice padded by `vocode_margin_frames` and trim — the same
+        receptive-field discipline as the bucketed bulk vocoder (bounded
+        <=1e-4 + one int16 step, tests/test_vocode_tail.py).
+
+        Chunk-register stability: the f0 register shift normalizes the
+        query median to the target's (ref ddsp_prematch_dataset.py:1224-
+        1233); applied per chunk it would re-pitch every chunk
+        independently. The shift is anchored with the running median of all
+        voiced frames seen so far (converges to the reference's whole-
+        utterance shift; equal to it once the stream covers the utterance).
+
+        src: a path or a 1-D float waveform at self.sr.
+        Yields float32 arrays of chunk_s*sr samples (last may be shorter),
+        int16-quantized like the fast path."""
+        from knnsvc_tpu.match.f0_logic import masked_log_median
+        from knnsvc_tpu.match.pool import build_device_pool, load_utterance
+
+        if matcher not in ("exact", "approx"):
+            raise ValueError(f"streaming supports matcher 'exact' or "
+                             f"'approx', not {matcher!r}")
+        hop = HOP_LENGTH
+        F = max(1, int(round(chunk_s * self.sr)) // hop)
+        C = max(0, int(round(context_s * self.sr)) // hop)
+        if isinstance(src, (str, Path)):
+            wav = load_utterance(src, self.sr)
+        else:
+            wav = np.asarray(src, dtype=np.float32)
+        ref_wav = load_utterance(ref_wav_file, self.sr)
+        ref = build_device_pool(ref_wav, self.wavlm_params, self.wavlm_cfg,
+                                self.weighting, self.weighting, self.sr,
+                                f0_method="fast", audio_path=str(ref_wav_file))
+        po = PostOpt.parse(post_opt)
+        voiced = np.zeros(0, np.float32)  # running voiced-f0 history
+        chunk_idx = 0
+        while True:
+            g_lo = chunk_idx * F
+            if g_lo * hop >= len(wav):
+                break
+            w0 = max(0, g_lo - C) * hop
+            w1 = min(len(wav), (g_lo + F + C) * hop)
+            window = wav[w0:w1]
+            if len(window) < hop:
+                break
+            wpool = build_device_pool(window, self.wavlm_params,
+                                      self.wavlm_cfg, self.weighting,
+                                      self.weighting, self.sr,
+                                      f0_method="fast")
+            t_local = int(wpool.matching.shape[0])
+            c_lo = g_lo - w0 // hop
+            if c_lo >= t_local:
+                break
+            c_hi = min(c_lo + F, t_local)
+            # register anchor: running voiced-f0 median (torch-median
+            # semantics via the same jnp helper the core uses)
+            f0_np = np.asarray(wpool.f0)
+            new_v = f0_np[c_lo:c_hi]
+            voiced = np.concatenate([voiced, new_v[new_v > 0]])
+            anchor = (float(masked_log_median(jnp.asarray(voiced)))
+                      if len(voiced) else None)
+            feats = match_utterance(
+                wpool.matching, wpool.f0, ref.matching, ref.synth, ref.f0,
+                ref.harmonics, ckpt_type=self.ckpt_type, post_opt=po,
+                topk=topk, prioritize_f0=prioritize_f0, matcher=matcher,
+                as_numpy=False, query_f0_log_median=anchor)
+            vm = max(0, int(vocode_margin_frames))
+            v_lo, v_hi = max(0, c_lo - vm), min(t_local, c_hi + vm)
+            harm = feats.harmonics_out_feats_weighted
+            shifted = feats.shifted_query_f0
+            wav_v = hifigan_vocode(
+                self.hifigan_params, self.h, self.family,
+                feats.out_feats_weighted[None, v_lo:v_hi],
+                None if shifted is None
+                else shifted[v_lo:v_hi].reshape(1, -1, 1),
+                None if harm is None else harm[None, v_lo:v_hi])
+            q = _quantize_int16(wav_v[0])
+            chunk_wav = np.asarray(q).astype(np.float32) / 32768.0
+            a = (c_lo - v_lo) * hop
+            yield chunk_wav[a : a + (c_hi - c_lo) * hop]
+            if c_hi < c_lo + F:
+                break  # the encoder ran out of frames: final partial chunk
+            chunk_idx += 1
+
+    def stream_convert(self, src_wav_file: str, ref_wav_file: str,
+                       output_path: str | None = None,
+                       tgt_loudness_db: float | None = None,
+                       **stream_kwargs) -> str:
+        """Run the whole file through stream_convert_chunks and write the
+        concatenation (file-level convenience + CLI surface for the
+        streaming path)."""
+        chunks = list(self.stream_convert_chunks(src_wav_file, ref_wav_file,
+                                                 **stream_kwargs))
+        pred = (np.concatenate(chunks) if chunks
+                else np.zeros(0, np.float32))
+        if tgt_loudness_db is not None:
+            pred = normalize_loudness(pred, self.sr, tgt_loudness_db)
+        if output_path is None:
+            src_id = os.path.basename(src_wav_file).split(".")[0]
+            ref_id = os.path.basename(ref_wav_file).split(".")[0]
+            output_path = os.path.join(
+                str(Path(src_wav_file).parent),
+                f"{src_id}_to_{ref_id}_knn_{self.ckpt_type}_stream.wav")
+        save_audio(output_path, pred, self.sr)
+        return output_path
 
     # ---------------------------------------------------------- fast bulk
 

@@ -32,11 +32,10 @@ def masked_log_median(f0: jax.Array) -> jax.Array:
 
 
 @jax.jit
-def shift_f0_to_target_register(query_f0: jax.Array, matching_f0: jax.Array) -> jax.Array:
-    """Log-median alignment of voiced source frames into the target's register
-    (ref ddsp_prematch_dataset.py:1224-1233):
-    shifted = exp(log f0 + median(log tgt) - median(log src)) on voiced frames."""
-    src_med = masked_log_median(query_f0)
+def _shift_f0_impl(query_f0: jax.Array, matching_f0: jax.Array,
+                   src_log_median: jax.Array) -> jax.Array:
+    src_med = jnp.where(jnp.isnan(src_log_median),
+                        masked_log_median(query_f0), src_log_median)
     tgt_med = masked_log_median(matching_f0)
     # fully-unvoiced tracks give +inf medians (the reference's torch.median on
     # an empty tensor errors out instead); degrade to a zero shift rather
@@ -45,6 +44,22 @@ def shift_f0_to_target_register(query_f0: jax.Array, matching_f0: jax.Array) -> 
     delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
     shifted = jnp.exp(jnp.log(jnp.where(query_f0 != 0, query_f0, 1.0)) + delta)
     return jnp.where(query_f0 != 0, shifted, query_f0)
+
+
+def shift_f0_to_target_register(query_f0: jax.Array, matching_f0: jax.Array,
+                                src_log_median=None) -> jax.Array:
+    """Log-median alignment of voiced source frames into the target's register
+    (ref ddsp_prematch_dataset.py:1224-1233):
+    shifted = exp(log f0 + median(log tgt) - median(log src)) on voiced frames.
+
+    src_log_median: optional scalar overriding median(log src). The shift
+    normalizes whatever it is given — per-CHUNK inputs would each be pulled
+    to the target register independently, so streaming conversion anchors
+    the register with the running whole-utterance median instead (NaN = use
+    the input's own median, the reference semantics)."""
+    med = (jnp.float32(jnp.nan) if src_log_median is None
+           else jnp.asarray(src_log_median, jnp.float32))
+    return _shift_f0_impl(query_f0, matching_f0, med)
 
 
 @jax.jit

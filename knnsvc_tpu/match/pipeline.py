@@ -49,14 +49,14 @@ KNN_CANDIDATES = 32  # ref :1203
 
 
 @functools.partial(jax.jit, static_argnames=("topk", "approx", "use_harmonics"))
-def _match_core(q, matching, synth, pool_f0, harmonics, qf0,
+def _match_core(q, matching, synth, pool_f0, harmonics, qf0, qmed,
                 topk: int, approx: bool, use_harmonics: bool):
     """The whole no_post_opt match as ONE compiled program: kNN + register
     shift + f0-priority re-rank + top-k mean gathers. A single dispatch —
     the eager per-op path pays a tunnel round-trip per jnp call on remote
     TPU setups, which costs more than the compute."""
     nearest_nbrs, _ = knn_topk(q, matching, k=KNN_CANDIDATES, approx=approx)
-    shifted = shift_f0_to_target_register(qf0, pool_f0)
+    shifted = shift_f0_to_target_register(qf0, pool_f0, qmed)
     out = jnp.mean(synth[nearest_nbrs[:, :topk]], axis=1)
     harm = None
     if use_harmonics:
@@ -67,7 +67,7 @@ def _match_core(q, matching, synth, pool_f0, harmonics, qf0,
 @functools.partial(jax.jit, static_argnames=("topk", "approx", "use_harmonics",
                                              "concat_weight", "opt_enabled",
                                              "use_pallas_concat"))
-def _match_core_post_opt(q, matching, synth, pool_f0, harmonics, qf0,
+def _match_core_post_opt(q, matching, synth, pool_f0, harmonics, qf0, qmed,
                          topk: int, approx: bool, use_harmonics: bool,
                          concat_weight: float, opt_enabled: bool,
                          use_pallas_concat: bool = False):
@@ -77,7 +77,7 @@ def _match_core_post_opt(q, matching, synth, pool_f0, harmonics, qf0,
     the weighted gathers. Same selection semantics as the step-by-step path
     in match_utterance (tested equal); one dispatch instead of ~8."""
     nearest_nbrs, _ = knn_topk(q, matching, k=KNN_CANDIDATES, approx=approx)
-    shifted = shift_f0_to_target_register(qf0, pool_f0)
+    shifted = shift_f0_to_target_register(qf0, pool_f0, qmed)
 
     target_idx = nearest_nbrs[:, :topk]
     pitched_idx = None
@@ -170,15 +170,16 @@ def _match_core_batch(qs, qf0s, matching, synth, pool_f0, harmonics,
     independent across utterances — batching B utterances into the same
     dispatch is where bulk throughput comes from (and, with the batch axis
     sharded over the mesh 'data' axis, where multi-chip serving scales)."""
+    nan_med = jnp.float32(jnp.nan)  # per-utterance register shift (ref)
     if not opt_enabled and concat_weight == -1.0:
         def one(q, qf0):
             return _match_core(q, matching, synth, pool_f0, harmonics, qf0,
-                               topk=topk, approx=approx,
+                               nan_med, topk=topk, approx=approx,
                                use_harmonics=use_harmonics)
     else:
         def one(q, qf0):
             return _match_core_post_opt(q, matching, synth, pool_f0,
-                                        harmonics, qf0, topk=topk,
+                                        harmonics, qf0, nan_med, topk=topk,
                                         approx=approx,
                                         use_harmonics=use_harmonics,
                                         concat_weight=concat_weight,
@@ -258,6 +259,7 @@ def match_utterance(
     quantized: QuantizedPool | None = None,
     sharded=None,
     as_numpy: bool = True,
+    query_f0_log_median: float | None = None,
 ) -> ConversionFeatures:
     """Convert one utterance against a prepared (concatenated) target pool.
 
@@ -271,10 +273,17 @@ def match_utterance(
     gathers) stays fp32.
 
     as_numpy=False keeps the outputs on the device (the zero-copy serving
-    path: results feed the vocoder without a round trip to the host)."""
+    path: results feed the vocoder without a round trip to the host).
+
+    query_f0_log_median: optional register anchor — overrides the query-side
+    median in the f0 register shift (see shift_f0_to_target_register). Used
+    by streaming conversion, where per-chunk medians would make each chunk
+    jump registers independently; None = reference semantics."""
     assert prioritize_f0, "prioritize_f0 is mandatory on the reference live path (ref :1375)"
 
     q = jnp.asarray(query_seq)
+    qmed = jnp.float32(np.nan if query_f0_log_median is None
+                       else query_f0_log_median)
 
     if matcher == "sharded":
         # fused one-dispatch sharded path: kNN + shift + rerank + concat +
@@ -283,6 +292,8 @@ def match_utterance(
         from knnsvc_tpu.parallel.sharded_match import sharded_match_core
 
         assert sharded is not None, "matcher='sharded' needs a ShardedPool"
+        assert query_f0_log_median is None, (
+            "register anchoring is not plumbed through the sharded core yet")
         use_harm = uses_harmonics(ckpt_type)
         out, shifted, harm = sharded_match_core(
             q, jnp.asarray(query_f0), sharded.matching, sharded.synth,
@@ -305,13 +316,14 @@ def match_utterance(
             out, shifted, harm = _match_core(
                 q, matching_list, synth_list, matching_f0,
                 harmonics_list if use_harm else synth_list[:, :1],
-                jnp.asarray(query_f0), topk=topk, approx=(matcher == "approx"),
-                use_harmonics=use_harm)
+                jnp.asarray(query_f0), qmed, topk=topk,
+                approx=(matcher == "approx"), use_harmonics=use_harm)
         else:
             out, shifted, harm = _match_core_post_opt(
                 q, matching_list, synth_list, matching_f0,
                 harmonics_list if use_harm else synth_list[:, :1],
-                jnp.asarray(query_f0), topk=topk, approx=(matcher == "approx"),
+                jnp.asarray(query_f0), qmed, topk=topk,
+                approx=(matcher == "approx"),
                 use_harmonics=use_harm, concat_weight=post_opt.concat_weight,
                 opt_enabled=post_opt.enabled,
                 # read OUTSIDE the jit so toggling the env var retraces
@@ -333,7 +345,7 @@ def match_utterance(
         assert matching_list is not None, "concat cost needs the fp32 pool"
 
     qf0 = jnp.asarray(query_f0)
-    shifted_f0 = shift_f0_to_target_register(qf0, matching_f0)
+    shifted_f0 = shift_f0_to_target_register(qf0, matching_f0, qmed)
 
     target_idx = nearest_nbrs[:, :topk]
     if post_opt.concat_weight != -1.0:

@@ -289,8 +289,8 @@ def test_match_core_post_opt_equals_stepwise():
 
     out, shifted, hm = pl._match_core_post_opt(
         jnp.asarray(q), jnp.asarray(pool), jnp.asarray(pool), jnp.asarray(pf0),
-        jnp.asarray(harm), jnp.asarray(qf0), topk=4, approx=False,
-        use_harmonics=True, concat_weight=0.2, opt_enabled=True)
+        jnp.asarray(harm), jnp.asarray(qf0), jnp.float32(np.nan), topk=4,
+        approx=False, use_harmonics=True, concat_weight=0.2, opt_enabled=True)
 
     # step-by-step replication
     from knnsvc_tpu.match.concat_cost import knn_with_concat_cost

@@ -1,0 +1,180 @@
+"""Streaming conversion mode (hub.stream_convert_chunks) — no reference
+analogue; the framework's low-latency serving path.
+
+Key invariants tested:
+- a stream whose one chunk covers the whole utterance IS the fast pair path
+  (bit-identical: same encode, same anchored shift, same int16 quantize);
+- with full context and an unvoiced source (register anchor out of play),
+  chunking only introduces the vocoder-margin tail deviation, which is
+  bounded like the bucketed bulk vocoder;
+- realistic small-context streams produce sane, complete audio.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from knnsvc_tpu.config import HiFiGANConfig, ModelFamily, WavLMConfig
+from knnsvc_tpu.io.audio import load_audio, save_audio
+from knnsvc_tpu.utils.layer_weights import generate_matrix_from_index
+
+SMALL_WAVLM = dict(
+    extractor_mode="group_norm",
+    encoder_layers=2,
+    encoder_embed_dim=64,
+    encoder_ffn_embed_dim=96,
+    encoder_attention_heads=4,
+    conv_feature_layers="[(64, 10, 5), (64, 8, 4), (64, 4, 4), (64, 4, 4)]",
+    conv_pos=16,
+    conv_pos_groups=4,
+    relative_position_embedding=True,
+    num_buckets=32,
+    max_distance=64,
+    gru_rel_pos=True,
+)
+
+SMALL_HIFIGAN = dict(
+    upsample_rates=(10, 8, 2, 2),
+    upsample_kernel_sizes=(20, 16, 4, 4),
+    upsample_initial_channel=64,
+    resblock_kernel_sizes=(3,),
+    resblock_dilation_sizes=((1, 3, 5),),
+    n_harmonic=4,
+    hubert_dim=64,
+    hifi_dim=32,
+)
+
+
+def _sing(sr, seconds, f0_hz, seed):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(sr * seconds)) / sr
+    wav = (0.3 * np.sin(2 * np.pi * f0_hz * t)
+           + 0.1 * np.sin(2 * np.pi * 2 * f0_hz * t))
+    wav += 0.02 * rng.standard_normal(len(t))
+    return np.clip(wav, -0.99, 0.99).astype(np.float32)
+
+
+def _noise(sr, seconds, seed):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal(int(sr * seconds)).astype(np.float32)
+    # light smoothing so it is not white-flat but stays unvoiced
+    k = np.ones(8, np.float32) / 8.0
+    return np.clip(np.convolve(x, k, mode="same") * 0.3, -0.99, 0.99)
+
+
+@pytest.fixture(scope="module")
+def svc_world(tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    sr = 16000
+    save_audio(root / "src_sing.wav", _sing(sr, 1.0, 180, 0), sr)
+    save_audio(root / "src_noise.wav", _noise(sr, 2.0, 1), sr)
+    save_audio(root / "ref.wav", _sing(sr, 1.3, 260, 2), sr)
+
+    from knnsvc_tpu.hub import KnnSvc
+    from knnsvc_tpu.models.hifigan import init_generator_params
+    from knnsvc_tpu.models.wavlm import init_wavlm_params
+
+    cfg = WavLMConfig.from_dict(SMALL_WAVLM)
+    params = init_wavlm_params(jax.random.PRNGKey(0), cfg)
+    h = HiFiGANConfig.from_dict(SMALL_HIFIGAN)
+    gen = init_generator_params(jax.random.PRNGKey(1), h, ModelFamily.MIX)
+    knn = KnnSvc(params, cfg, gen, h, ckpt_type="mix")
+    knn.weighting = generate_matrix_from_index(2, size=cfg.encoder_layers + 1)
+    return root, knn
+
+
+def test_stream_single_chunk_equals_fast_pair(svc_world, tmp_path):
+    root, knn = svc_world
+    src, ref = str(root / "src_sing.wav"), str(root / "ref.wav")
+    batch_path = knn.convert_pair(src, ref, matcher="exact", fast=True,
+                                  output_path=str(tmp_path / "batch.wav"))
+    batch = np.asarray(load_audio(batch_path)[0])[0]  # mono channel
+    chunks = list(knn.stream_convert_chunks(src, ref, chunk_s=2.0,
+                                            context_s=0.5, matcher="exact"))
+    assert len(chunks) == 1
+    streamed = chunks[0]
+    assert streamed.shape == batch.shape
+    # same encode window, same anchored register shift, same int16
+    # quantization -> bit-identical
+    np.testing.assert_array_equal(streamed, batch)
+
+
+@pytest.mark.slow
+def test_stream_chunked_full_context_matches_batch(svc_world, tmp_path):
+    """With context covering the whole utterance every chunk sees identical
+    features, and an unvoiced source keeps the register anchor out of play —
+    the only chunking artifact left is the vocoder margin, bounded like the
+    bucketed bulk vocoder (<=1e-4 + int16 steps)."""
+    root, knn = svc_world
+    src, ref = str(root / "src_noise.wav"), str(root / "ref.wav")
+    batch_path = knn.convert_pair(src, ref, matcher="exact", fast=True,
+                                  output_path=str(tmp_path / "batch.wav"))
+    batch = np.asarray(load_audio(batch_path)[0])[0]  # mono channel
+    chunks = list(knn.stream_convert_chunks(src, ref, chunk_s=0.5,
+                                            context_s=4.0, matcher="exact"))
+    assert len(chunks) >= 3
+    streamed = np.concatenate(chunks)
+    assert streamed.shape == batch.shape
+    dev = np.abs(streamed - batch)
+    assert dev.max() <= 2e-4, dev.max()
+    # the overwhelming majority of samples are bit-identical
+    assert (dev == 0).mean() > 0.9
+
+
+def test_stream_small_context_structure(svc_world, tmp_path):
+    root, knn = svc_world
+    src, ref = str(root / "src_sing.wav"), str(root / "ref.wav")
+    chunks = list(knn.stream_convert_chunks(src, ref, chunk_s=0.25,
+                                            context_s=0.25))
+    # 1 s of source at 0.25 s chunks -> 4ish chunks, all full-size except
+    # possibly the last (encoder edge)
+    assert len(chunks) >= 3
+    F = int(round(0.25 * 16000)) // 320
+    for c in chunks[:-1]:
+        assert c.shape == (F * 320,)
+    assert 0 < chunks[-1].shape[-1] <= F * 320
+    n_src = load_audio(src)[0].shape[-1]
+    total = sum(c.shape[-1] for c in chunks)
+    assert abs(total - n_src) <= 320 * 2
+    for c in chunks:
+        assert np.all(np.isfinite(c))
+        assert np.abs(c).max() <= 1.0
+    # the file-level wrapper writes the concatenation
+    out = knn.stream_convert(src, ref, chunk_s=0.25, context_s=0.25,
+                             output_path=str(tmp_path / "streamed.wav"))
+    y, sr = load_audio(out)
+    assert sr == 16000
+    assert np.asarray(y)[0].shape[-1] == total
+    # (no RMS assertion: the tiny random vocoder's output can sit below one
+    # int16 step; content fidelity is covered by the equality tests above)
+
+
+def test_register_anchor_semantics():
+    """The property streaming depends on: shifting a CHUNK with the full-
+    utterance anchor equals shifting the full utterance and slicing; an
+    un-anchored per-chunk shift re-centers every chunk onto the target
+    median (the artifact the anchor exists to prevent)."""
+    import jax.numpy as jnp
+
+    from knnsvc_tpu.match.f0_logic import (masked_log_median,
+                                           shift_f0_to_target_register)
+
+    rng = np.random.default_rng(0)
+    full = np.concatenate([140 + 10 * rng.random(40),
+                           290 + 20 * rng.random(40)]).astype(np.float32)
+    full[::7] = 0.0  # some unvoiced frames
+    pool_f0 = (200 + 40 * rng.random(300)).astype(np.float32)
+
+    whole = np.asarray(shift_f0_to_target_register(jnp.asarray(full),
+                                                   jnp.asarray(pool_f0)))
+    anchor = float(masked_log_median(jnp.asarray(full)))
+    chunk = full[40:]
+    anchored = np.asarray(shift_f0_to_target_register(
+        jnp.asarray(chunk), jnp.asarray(pool_f0), src_log_median=anchor))
+    np.testing.assert_allclose(anchored, whole[40:], rtol=1e-6)
+
+    unanchored = np.asarray(shift_f0_to_target_register(
+        jnp.asarray(chunk), jnp.asarray(pool_f0)))
+    # the chunk's own median differs from the anchor -> different register
+    v = chunk > 0
+    assert not np.allclose(unanchored[v], whole[40:][v], rtol=1e-3)
