@@ -106,13 +106,16 @@ def main(argv=None) -> int:
 
     if src_is_file and tgt_is_file:
         if args.stream_chunk_s is not None:
+            if args.matcher not in ("exact", "approx"):
+                raise SystemExit(
+                    f"--stream_chunk_s supports --matcher exact|approx, "
+                    f"not {args.matcher!r}")
             out = knn.stream_convert(
                 args.src, args.tgt, output_path=args.out,
                 tgt_loudness_db=loudness, chunk_s=args.stream_chunk_s,
                 context_s=args.stream_context_s, topk=args.topk,
                 prioritize_f0=args.prioritize_f0, post_opt=args.post_opt,
-                matcher=("approx" if args.matcher not in ("exact", "approx")
-                         else args.matcher),
+                matcher=args.matcher,
             )
             print("->", out)
             return 0
@@ -125,6 +128,9 @@ def main(argv=None) -> int:
         return 0
 
     if src_is_dir and tgt_is_dir:
+        if args.stream_chunk_s is not None:
+            raise SystemExit("--stream_chunk_s applies to pair (file-file) "
+                             "mode only; bulk mode converts whole utterances")
         tgt_parent = f"{os.path.dirname(os.path.abspath(args.tgt))}/"
         converted_audio_dir = (
             f"{tgt_parent}"

@@ -367,6 +367,16 @@ class KnnSvc:
             query_pool=query_pool, ref_pool=ref_pool, matcher=matcher, mesh=mesh,
         )
 
+    def _default_output_path(self, src_wav_file: str, ref_wav_file: str,
+                             suffix: str) -> str:
+        """Reference naming: <src_dir>/<src>_to_<ref>_knn_<ckpt>_<suffix>.wav
+        (ref ddsp_matcher.py:1013-1015)."""
+        src_id = os.path.basename(src_wav_file).split(".")[0]
+        ref_id = os.path.basename(ref_wav_file).split(".")[0]
+        return os.path.join(
+            str(Path(src_wav_file).parent),
+            f"{src_id}_to_{ref_id}_knn_{self.ckpt_type}_{suffix}.wav")
+
     def convert_pair(self, src_wav_file: str, ref_wav_file: str, topk: int = 4,
                      prioritize_f0: bool = True, post_opt: str = "no_post_opt",
                      tgt_loudness_db: float | None = None,
@@ -446,12 +456,8 @@ class KnnSvc:
             pred = normalize_loudness(pred, self.sr, tgt_loudness_db)
 
         if output_path is None:
-            src_id = os.path.basename(src_wav_file).split(".")[0]
-            ref_id = os.path.basename(ref_wav_file).split(".")[0]
-            output_path = os.path.join(
-                str(Path(src_wav_file).parent),
-                f"{src_id}_to_{ref_id}_knn_{self.ckpt_type}_{post_opt}.wav",
-            )
+            output_path = self._default_output_path(src_wav_file,
+                                                    ref_wav_file, post_opt)
         save_audio(output_path, pred, self.sr)
         return output_path
 
@@ -515,7 +521,9 @@ class KnnSvc:
             w0 = max(0, g_lo - C) * hop
             w1 = min(len(wav), (g_lo + F + C) * hop)
             window = wav[w0:w1]
-            if len(window) < hop:
+            # build_device_pool drops chunks <= MIN_CHUNK_SECONDS*sr (= one
+            # hop at 16 kHz), which would leave an empty feature list
+            if len(window) <= hop:
                 break
             wpool = build_device_pool(window, self.wavlm_params,
                                       self.wavlm_cfg, self.weighting,
@@ -570,11 +578,8 @@ class KnnSvc:
         if tgt_loudness_db is not None:
             pred = normalize_loudness(pred, self.sr, tgt_loudness_db)
         if output_path is None:
-            src_id = os.path.basename(src_wav_file).split(".")[0]
-            ref_id = os.path.basename(ref_wav_file).split(".")[0]
-            output_path = os.path.join(
-                str(Path(src_wav_file).parent),
-                f"{src_id}_to_{ref_id}_knn_{self.ckpt_type}_stream.wav")
+            output_path = self._default_output_path(src_wav_file,
+                                                    ref_wav_file, "stream")
         save_audio(output_path, pred, self.sr)
         return output_path
 

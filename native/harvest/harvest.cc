@@ -100,10 +100,13 @@ constexpr double kSmoothCutoffHz = 30.0;     // contour low-pass (1 kHz frame ra
 constexpr double kExtendRefineScore = 2.0;
 
 
-// Tuning-harness override: HARVEST_TUNE="score_floor,lambda,toggle,unvoiced,
-// cand_base,energy_knee,extend_tol,snr_knee,rel_gamma" (any field empty =
-// default). Only read when the env var is set; the shipped defaults are the
-// values fitted against the reference's Harvest sidecars.
+// Tuning-harness override: HARVEST_TUNE is a comma list of up to 19 fields
+// in TrackParams declaration order (score_floor, lambda, toggle, unvoiced,
+// cand_base, energy_knee, extend_tol, snr_knee, rel_gamma, amp_floor,
+// step_cap, sec_dur0, sec_ev, sec_amp, share_decay, jump_cap, chain_tol,
+// cons_tol, snap_tol; any field empty = default). Only read when the env
+// var is set; the shipped defaults are the round-3 joint re-fit (sidecars
+// + tune-split synthetic suite, binary-verified — see the header).
 struct TrackParams {
   // DP economics re-fit offline against the pyworld sidecars with
   // tools/tune_harvest_dp.py (candidate sets dumped once, stage 5 replayed):
@@ -119,7 +122,7 @@ struct TrackParams {
   double extend_tol = 0.224872;  // section extension candidate tolerance
   double snr_knee = 15.504;      // score *= snr / (snr + snr_knee)
   double rel_gamma = 2.44817;    // in-frame relative amp exponent (0 disables)
-  // Round-3 structural additions (defaults = round-2 behavior):
+  // Round-3 structural additions (now ON by default — the round-3 fit):
   // amp_floor softens the absolute amplitude gate so quiet-but-periodic
   // frames (reverb tails, soft phrase ends — which pyworld, having no
   // amplitude gate at all, keeps) can survive into the DP; the section
@@ -153,7 +156,7 @@ struct TrackParams {
 };
 
 // Experiment hook (tuning harness only): HARVEST_EXP is a comma list of up
-// to 7 fields, in ExpParams declaration order (empty field = keep default):
+// to 8 fields, in ExpParams declaration order (empty field = keep default):
 //   1 window_periods        refine averaging window, in periods
 //   2 overlap_frames        stage-4b candidate sharing radius
 //   3 smooth_cutoff_hz      stage-5d contour low-pass
@@ -316,6 +319,43 @@ void fix_jumps_and_short_runs(std::vector<double>* f0p) {
   }
 }
 
+// Shared extension step: the candidate nearest the continuation value v at
+// `frame` within tol — falling back (budget-limited) to the instantaneous-
+// frequency refiner seeded with v. Tier-1 acceptance needs a real harmonic-
+// consistency score (refine_score_gate); tier-2 (ext_gate2 > 0) accepts a
+// LOW score when the continuation is very tight (0.3x tol): quiet section-
+// edge tails continue tightly, reverb junk drifts. Used by both the legacy
+// sequential extension and the consensus extension — one definition so the
+// tuned and legacy semantics cannot fork.
+double extend_step(int frame, double v, int* refine_budget,
+                   const std::vector<std::vector<Cand>>& cands, double tol,
+                   const double* x, int nx, int fs,
+                   const std::vector<double>& frame_times,
+                   double window_periods, double refine_score_gate,
+                   double refine_gate2) {
+  double best = 0.0, best_err = tol;
+  for (const Cand& c : cands[frame]) {
+    if (c.score <= 0.0) continue;
+    const double err = std::fabs(c.f0 / v - 1.0);
+    if (err < best_err) { best_err = err; best = c.f0; }
+  }
+  if (best == 0.0 && x != nullptr && *refine_budget > 0) {
+    const Refined r = refine_f0(x, nx, fs, frame_times[frame], v,
+                                1.0, 0.45 * fs, kRefineHarmonics,
+                                /*iterations=*/2, window_periods,
+                                /*subharmonic_check=*/true);
+    const double prox = r.f0 > 0.0 ? std::fabs(r.f0 / v - 1.0) : 1e9;
+    const bool tier1 = r.score >= refine_score_gate && prox < tol;
+    const bool tier2 = refine_gate2 > 0.0 && r.score >= refine_gate2 &&
+                       prox < 0.3 * tol;
+    if (tier1 || tier2) {
+      best = r.f0;
+      --*refine_budget;
+    }
+  }
+  return best;
+}
+
 // Stage 5c: extend voiced sections through the candidate sets, forward then
 // backward, stopping at already-voiced frames (which merges sections whose
 // extensions meet).
@@ -339,27 +379,9 @@ void extend_sections(std::vector<double>* f0p,
   // refine walk follows reverb tails into unvoiced territory
   constexpr int kMaxRefineSteps = 120;
   auto best_match = [&](int frame, double v, int* refine_budget) -> double {
-    double best = 0.0, best_err = tol;
-    for (const Cand& c : cands[frame]) {
-      if (c.score <= 0.0) continue;
-      const double err = std::fabs(c.f0 / v - 1.0);
-      if (err < best_err) { best_err = err; best = c.f0; }
-    }
-    if (best == 0.0 && x != nullptr && *refine_budget > 0) {
-      const Refined r = refine_f0(x, nx, fs, frame_times[frame], v,
-                                  1.0, 0.45 * fs, kRefineHarmonics,
-                                  /*iterations=*/2, window_periods,
-                                  /*subharmonic_check=*/true);
-      const double prox = r.f0 > 0.0 ? std::fabs(r.f0 / v - 1.0) : 1e9;
-      const bool tier1 = r.score >= refine_score_gate && prox < tol;
-      const bool tier2 = refine_gate2 > 0.0 && r.score >= refine_gate2 &&
-                         prox < 0.3 * tol;
-      if (tier1 || tier2) {
-        best = r.f0;
-        --*refine_budget;
-      }
-    }
-    return best;
+    return extend_step(frame, v, refine_budget, cands, tol, x, nx, fs,
+                       frame_times, window_periods, refine_score_gate,
+                       refine_gate2);
   };
   // forward
   for (int i = 1; i < n; ++i) {
@@ -447,27 +469,9 @@ void consensus_extend(std::vector<double>* f0p,
   const int n = static_cast<int>(f0.size());
   constexpr int kMaxRefineSteps = 120;
   auto best_match = [&](int frame, double v, int* refine_budget) -> double {
-    double best = 0.0, best_err = tol;
-    for (const Cand& c : cands[frame]) {
-      if (c.score <= 0.0) continue;
-      const double err = std::fabs(c.f0 / v - 1.0);
-      if (err < best_err) { best_err = err; best = c.f0; }
-    }
-    if (best == 0.0 && x != nullptr && *refine_budget > 0) {
-      const Refined r = refine_f0(x, nx, fs, frame_times[frame], v,
-                                  1.0, 0.45 * fs, kRefineHarmonics,
-                                  /*iterations=*/2, window_periods,
-                                  /*subharmonic_check=*/true);
-      const double prox = r.f0 > 0.0 ? std::fabs(r.f0 / v - 1.0) : 1e9;
-      const bool tier1 = r.score >= refine_score_gate && prox < tol;
-      const bool tier2 = refine_gate2 > 0.0 && r.score >= refine_gate2 &&
-                         prox < 0.3 * tol;
-      if (tier1 || tier2) {
-        best = r.f0;
-        --*refine_budget;
-      }
-    }
-    return best;
+    return extend_step(frame, v, refine_budget, cands, tol, x, nx, fs,
+                       frame_times, window_periods, refine_score_gate,
+                       refine_gate2);
   };
   // sections + per-section DP evidence
   std::vector<int> sec_start, sec_end;
