@@ -151,8 +151,40 @@ def run_config(name: str, precision: str, matcher: str, post_opt: str,
     return rtf
 
 
+def _probe_device(timeout_s: float = 180.0) -> str | None:
+    """Bounded TPU reachability check. jax.devices() through a dead axon
+    tunnel hangs indefinitely (observed: multi-hour outages) and would hang
+    the whole driver-run benchmark with it — probe in a subprocess with a
+    timeout and return the error string instead."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices()[0])"],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return f"device probe timed out after {timeout_s:.0f}s (tunnel down?)"
+    if r.returncode != 0:
+        return f"device probe failed: {r.stderr.strip()[-300:]}"
+    return None
+
+
 def main() -> int:
     import tempfile
+
+    err = _probe_device()
+    if err is not None:
+        # one honest JSON line the driver can record + diagnose, instead of
+        # an indefinite hang with no BENCH output at all
+        print(json.dumps({
+            "metric": "end_to_end_conversion_rtf",
+            "value": 0.0,
+            "unit": "audio_sec/sec/chip",
+            "vs_baseline": 0.0,
+            "error": err,
+        }), flush=True)
+        print(f"# {err}", file=sys.stderr, flush=True)
+        return 1
 
     import jax
 

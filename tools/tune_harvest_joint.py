@@ -32,6 +32,17 @@ path produces: ref ddsp_prematch_dataset.py:121-128) plus the synthetic
 `tune` split of tools/f0_truth_suite.py as an out-of-family regularizer.
 The `heldout` split is NEVER seen here.
 
+ROUND-3 NOTE: this replay models the binary as of the round-2 pipeline.
+The binary has since gained the value-dynamics stages (HARVEST_TUNE slots
+17-19: chain_tol / cons_tol / snap_tol) and the tier-2 extension gate
+(HARVEST_EXP slot 8), which this replay does NOT model — replay metrics at
+the shipped defaults will undershoot the binary's. The round-3 fit used an
+extended replay (chain re-walk + consensus extension + snap grafted onto
+this file's machinery) with every winning vector re-measured through the
+binary; the per-stage analysis and the measured candidate-value ceiling
+live in native/harvest/harvest.cc's header and BASELINE.md. Start any
+future w50 push from that ceiling analysis, not from another search here.
+
 Usage:
   python tools/f0_truth_suite.py --out /tmp/f0suite --split tune
   python tools/tune_harvest_joint.py --capture /tmp/hj --wp 2.0 \
