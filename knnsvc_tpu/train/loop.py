@@ -122,6 +122,10 @@ def train(
                 g_params=g, mpd_params=do["mpd"], msd_params=do["msd"],
                 opt_g=do.get("optim_g", state.opt_g),
                 opt_d=do.get("optim_d", state.opt_d),
+                # keep the in-state global step counter continuous across
+                # resume, matching the orbax path (which restores the whole
+                # TrainState, steps included)
+                steps=jnp.int32(int(do.get("steps", 0))),
             )
             start_steps = int(do.get("steps", 0)) + 1
             start_epoch = int(do.get("epoch", -1)) + 1
