@@ -149,6 +149,24 @@ def test_stream_small_context_structure(svc_world, tmp_path):
     # int16 step; content fidelity is covered by the equality tests above)
 
 
+@pytest.mark.slow
+def test_stream_single_chunk_post_opt_equals_fast_pair(svc_world, tmp_path):
+    """Same degenerate-equality property through the post_opt fused core
+    (concat-cost reselection + smoothness weights) — covers the anchored
+    register shift on that path too."""
+    root, knn = svc_world
+    src, ref = str(root / "src_sing.wav"), str(root / "ref.wav")
+    batch_path = knn.convert_pair(src, ref, matcher="exact", fast=True,
+                                  post_opt="post_opt_0.2",
+                                  output_path=str(tmp_path / "batch.wav"))
+    batch = np.asarray(load_audio(batch_path)[0])[0]
+    chunks = list(knn.stream_convert_chunks(src, ref, chunk_s=2.0,
+                                            context_s=0.5, matcher="exact",
+                                            post_opt="post_opt_0.2"))
+    assert len(chunks) == 1
+    np.testing.assert_array_equal(chunks[0], batch)
+
+
 def test_register_anchor_semantics():
     """The property streaming depends on: shifting a CHUNK with the full-
     utterance anchor equals shifting the full utterance and slicing; an
