@@ -88,6 +88,15 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    # pure-argument validation BEFORE the (minutes-long, tunneled) model load
+    if args.stream_chunk_s is not None:
+        if args.matcher not in ("exact", "approx"):
+            raise SystemExit(f"--stream_chunk_s supports --matcher "
+                             f"exact|approx, not {args.matcher!r}")
+        if os.path.isdir(args.src) or os.path.isdir(args.tgt):
+            raise SystemExit("--stream_chunk_s applies to pair (file-file) "
+                             "mode only; bulk mode converts whole utterances")
+
     from knnsvc_tpu.precision import set_precision
 
     set_precision(args.precision)
@@ -106,10 +115,6 @@ def main(argv=None) -> int:
 
     if src_is_file and tgt_is_file:
         if args.stream_chunk_s is not None:
-            if args.matcher not in ("exact", "approx"):
-                raise SystemExit(
-                    f"--stream_chunk_s supports --matcher exact|approx, "
-                    f"not {args.matcher!r}")
             out = knn.stream_convert(
                 args.src, args.tgt, output_path=args.out,
                 tgt_loudness_db=loudness, chunk_s=args.stream_chunk_s,
@@ -128,9 +133,6 @@ def main(argv=None) -> int:
         return 0
 
     if src_is_dir and tgt_is_dir:
-        if args.stream_chunk_s is not None:
-            raise SystemExit("--stream_chunk_s applies to pair (file-file) "
-                             "mode only; bulk mode converts whole utterances")
         tgt_parent = f"{os.path.dirname(os.path.abspath(args.tgt))}/"
         converted_audio_dir = (
             f"{tgt_parent}"

@@ -22,9 +22,9 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-SRC = "/root/reference/sample_content/Danakil-voice_resampled_16000_cut.wav"
-REF = "/root/reference/sample_content/Tiken_lead_07_resampled_16000_cut.wav"
-SR, SECONDS = 16000, 30
+from bench import REF, SR, SRC  # one source of truth for the sample pair
+
+SECONDS = 30
 
 
 def main() -> int:
@@ -59,11 +59,15 @@ def main() -> int:
         lat = np.asarray(lat)
         # chunk 0 includes the target-pool build; compiles dominate the cold
         # run and are cached for the warm one
-        print(f"{run}: {len(lat)} chunks, {total / SR:.1f} s audio | "
-              f"first {lat[0]*1e3:.0f} ms | steady median "
-              f"{np.median(lat[1:])*1e3:.0f} ms / {args.chunk_s*1e3:.0f} ms "
-              f"chunk ({args.chunk_s / np.median(lat[1:]):.1f}x realtime) | "
-              f"p95 {np.percentile(lat[1:], 95)*1e3:.0f} ms", flush=True)
+        line = (f"{run}: {len(lat)} chunks, {total / SR:.1f} s audio | "
+                f"first {lat[0]*1e3:.0f} ms")
+        if len(lat) > 1:
+            med = float(np.median(lat[1:]))
+            line += (f" | steady median {med*1e3:.0f} ms / "
+                     f"{args.chunk_s*1e3:.0f} ms chunk "
+                     f"({args.chunk_s / med:.1f}x realtime) | "
+                     f"p95 {np.percentile(lat[1:], 95)*1e3:.0f} ms")
+        print(line, flush=True)
     print(f"algorithmic latency = chunk+context = "
           f"{(args.chunk_s + args.context_s)*1e3:.0f} ms; end-to-end ~= that "
           f"+ one steady chunk compute", flush=True)

@@ -84,7 +84,8 @@ EXTEND_REFINE_BUDGET = 120
 SMOOTH_CUTOFF = 30.0
 F0_FLOOR, F0_CEIL, F0_ZERO_BELOW = 65.0, 1047.0, 80.0
 STEP_MS = 20.0
-TOPK = 32               # DP state cap (replay-only; binary is uncapped)
+TOPK = 32               # DP state cap (binary applies the same top-32
+                        # cap since r3: harvest.cc kDpCandidateCap)
 
 NAMES = ["lambda", "toggle", "unvoiced", "cand_base", "energy_knee",
          "extend_tol", "snr_knee", "rel_gamma"]
