@@ -398,11 +398,11 @@ class KnnSvc:
         matcher, and the output is quantized at 16-bit depth on the device
         (inaudible vs the fp32 path; tested <= 2e-5 sample deviation)."""
         if fast:
-            if matcher not in ("exact", "approx", "sharded"):
+            if matcher not in ("exact", "approx", "sharded", "sharded_int8"):
                 raise ValueError(
-                    f"--fast supports matcher 'exact', 'approx' or 'sharded',"
-                    f" not {matcher!r} (the int8 pool is host-prepared; use "
-                    "the default path for it)")
+                    f"--fast supports matcher 'exact', 'approx', 'sharded' "
+                    f"or 'sharded_int8', not {matcher!r} (the dense int8 "
+                    "pool is host-prepared; use the default path for it)")
             from knnsvc_tpu.match.pool import build_device_pool, load_utterance
 
             src_wav = load_utterance(src_wav_file, self.sr)
@@ -414,13 +414,14 @@ class KnnSvc:
                                     self.weighting, self.weighting, self.sr,
                                     f0_method="fast", audio_path=ref_wav_file)
             sharded = None
-            if matcher == "sharded":
+            if matcher in ("sharded", "sharded_int8"):
                 from knnsvc_tpu.match.pipeline import _default_pool_mesh
                 from knnsvc_tpu.parallel.sharded_match import shard_speaker_pool
 
                 sharded = shard_speaker_pool(
                     ref.matching, ref.synth, ref.f0, ref.harmonics,
-                    mesh if mesh is not None else _default_pool_mesh())
+                    mesh if mesh is not None else _default_pool_mesh(),
+                    quantize_matching=matcher == "sharded_int8")
             feats = match_utterance(
                 src.matching, src.f0, ref.matching, ref.synth, ref.f0,
                 ref.harmonics, ckpt_type=self.ckpt_type,

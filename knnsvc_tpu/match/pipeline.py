@@ -124,7 +124,7 @@ def _match_core_post_opt(q, matching, synth, pool_f0, harmonics, qf0, qmed,
 
 def _prepare_ref_pool(ref_pool: SpeakerPool, need_fp32_matching: bool,
                       need_harmonics: bool, need_quantized: bool,
-                      mesh=None) -> dict:
+                      mesh=None, quantize_sharded: bool = False) -> dict:
     # Device-side preparation memo, stored ON the pool object: the
     # SpeakerPool concat properties re-run np.concatenate on every access and
     # quantize_pool is an O(P*D) host pass + transfer; bulk conversion shares
@@ -138,14 +138,18 @@ def _prepare_ref_pool(ref_pool: SpeakerPool, need_fp32_matching: bool,
     if mesh is not None:
         # sharded serving: matching/synth/harmonics live at ~P/n_shards rows
         # per device; NO dense replicated copy of any pool array is created
-        # (that replication was exactly what erased the HBM scaling)
-        if prep.get("mesh") is not mesh:
+        # (that replication was exactly what erased the HBM scaling).
+        # quantize_sharded additionally stores the matching rows int8
+        # (P/(4*n_shards) bytes per device; serving configs only)
+        key = "sharded_int8" if quantize_sharded else "sharded"
+        if prep.get(f"{key}_mesh") is not mesh:
             from knnsvc_tpu.parallel.sharded_match import shard_speaker_pool
 
-            prep["mesh"] = mesh
-            prep["sharded"] = shard_speaker_pool(
+            prep[f"{key}_mesh"] = mesh
+            prep[key] = shard_speaker_pool(
                 prep["host_matching"], ref_pool.synth, ref_pool.f0,
-                ref_pool.harmonics if need_harmonics else None, mesh)
+                ref_pool.harmonics if need_harmonics else None, mesh,
+                quantize_matching=quantize_sharded)
         return prep
     if "synth" not in prep:
         prep["synth"] = jnp.asarray(ref_pool.synth)
@@ -285,22 +289,36 @@ def match_utterance(
     qmed = jnp.float32(np.nan if query_f0_log_median is None
                        else query_f0_log_median)
 
-    if matcher == "sharded":
+    if matcher in ("sharded", "sharded_int8"):
         # fused one-dispatch sharded path: kNN + shift + rerank + concat +
         # smoothness + gathers inside one jitted shard_map; post_opt composes
-        # without replicating any pool array
-        from knnsvc_tpu.parallel.sharded_match import sharded_match_core
+        # without replicating any pool array. sharded_int8 runs the candidate
+        # search on int8 matching rows (P/(4*n_shards) bytes per device) —
+        # serving configs only (no concat/post_opt: they read fp32 rows)
+        from knnsvc_tpu.parallel.sharded_match import (
+            sharded_match_core, sharded_match_core_int8)
 
-        assert sharded is not None, "matcher='sharded' needs a ShardedPool"
+        assert sharded is not None, f"matcher={matcher!r} needs a ShardedPool"
         assert query_f0_log_median is None, (
             "register anchoring is not plumbed through the sharded core yet")
         use_harm = uses_harmonics(ckpt_type)
-        out, shifted, harm = sharded_match_core(
-            q, jnp.asarray(query_f0), sharded.matching, sharded.synth,
-            sharded.harmonics if use_harm else sharded.synth, sharded.f0,
-            sharded.true_len, mesh=sharded.mesh, topk=topk,
-            use_harmonics=use_harm, concat_weight=post_opt.concat_weight,
-            opt_enabled=post_opt.enabled)
+        if sharded.matching_q8 is not None:
+            assert not post_opt.enabled and post_opt.concat_weight == -1.0, (
+                "sharded_int8 serves no_post_opt configs only (concat/"
+                "smoothness read fp32 matching rows; use matcher='sharded')")
+            out, shifted, harm = sharded_match_core_int8(
+                q, jnp.asarray(query_f0), sharded.matching_q8,
+                sharded.inv_norms, sharded.synth,
+                sharded.harmonics if use_harm else sharded.synth, sharded.f0,
+                sharded.true_len, mesh=sharded.mesh, topk=topk,
+                use_harmonics=use_harm)
+        else:
+            out, shifted, harm = sharded_match_core(
+                q, jnp.asarray(query_f0), sharded.matching, sharded.synth,
+                sharded.harmonics if use_harm else sharded.synth, sharded.f0,
+                sharded.true_len, mesh=sharded.mesh, topk=topk,
+                use_harmonics=use_harm, concat_weight=post_opt.concat_weight,
+                opt_enabled=post_opt.enabled)
         if not as_numpy:
             return ConversionFeatures(out, shifted, harm)
         return ConversionFeatures(
@@ -423,18 +441,24 @@ def match_at_inference_time(
             duration_limit=duration_limit,
         )
 
-    if matcher == "sharded" and mesh is None:
+    if matcher in ("sharded", "sharded_int8") and mesh is None:
         mesh = _default_pool_mesh()
+    if matcher == "sharded_int8":
+        assert not popt.enabled and popt.concat_weight == -1.0, (
+            "matcher='sharded_int8' serves no_post_opt configs only")
 
     # the fp32 matching pool only goes to the device (replicated) when
-    # something reads it. The sharded matcher NEVER replicates it — its
-    # concat cost gathers candidate rows across shards; int8 still needs the
-    # dense pool for the concat cost's row reads
-    need_fp32_matching = (matcher not in ("int8", "sharded")
+    # something reads it. The sharded matchers NEVER replicate it — the fp32
+    # one's concat cost gathers candidate rows across shards, the int8 one
+    # never touches fp32 matching at all; dense int8 still needs the dense
+    # pool for the concat cost's row reads
+    need_fp32_matching = (matcher not in ("int8", "sharded", "sharded_int8")
                           or (matcher == "int8" and popt.concat_weight != -1.0))
-    prep = _prepare_ref_pool(ref_pool, need_fp32_matching,
-                             uses_harmonics(ckpt_type), matcher == "int8",
-                             mesh=mesh if matcher == "sharded" else None)
+    prep = _prepare_ref_pool(
+        ref_pool, need_fp32_matching, uses_harmonics(ckpt_type),
+        matcher == "int8",
+        mesh=mesh if matcher in ("sharded", "sharded_int8") else None,
+        quantize_sharded=matcher == "sharded_int8")
     matching_list = prep.get("matching")
     synth_list = prep.get("synth")
     matching_f0 = prep.get("f0")
@@ -448,6 +472,8 @@ def match_at_inference_time(
         results[item] = match_utterance(
             pools.matching, pools.f0, matching_list, synth_list, matching_f0,
             harmonics_list, ckpt_type, popt, topk=topk, prioritize_f0=prioritize_f0,
-            matcher=matcher, quantized=quantized, sharded=prep.get("sharded"),
+            matcher=matcher, quantized=quantized,
+            sharded=prep.get("sharded_int8" if matcher == "sharded_int8"
+                             else "sharded"),
         )
     return results

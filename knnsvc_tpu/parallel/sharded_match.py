@@ -41,19 +41,30 @@ from knnsvc_tpu.match.smoothness import (
 @dataclasses.dataclass
 class ShardedPool:
     """A speaker pool laid out for the 'pool' mesh axis: big per-frame arrays
-    sharded (padded to a shard multiple), the tiny f0 track replicated."""
+    sharded (padded to a shard multiple), the tiny f0 track replicated.
 
-    matching: jax.Array             # (P_pad, D) sharded on 'pool'
+    With quantize_matching the fp32 matching pool is never uploaded at all:
+    the candidate search runs on int8 rows (row scales cancel in the cosine —
+    see match/quantized_pool.py), so the per-device matching footprint is
+    P/(4*n_shards) of the replicated-fp32 baseline. Serving configs only
+    (the concat cost and smoothness stages read fp32 matching rows)."""
+
+    matching: jax.Array | None      # (P_pad, D) fp32 sharded, or None (int8)
     synth: jax.Array                # (P_pad, D) sharded on 'pool'
     harmonics: jax.Array | None     # (P_pad, 49) sharded on 'pool'
     f0: jax.Array                   # (P,) replicated, unpadded
     true_len: int                   # unpadded pool length
     mesh: Mesh
+    matching_q8: jax.Array | None = None   # (P_pad, D) int8 sharded
+    inv_norms: jax.Array | None = None     # (P_pad,) fp32 sharded
 
 
-def shard_speaker_pool(matching, synth, f0, harmonics, mesh: Mesh) -> ShardedPool:
+def shard_speaker_pool(matching, synth, f0, harmonics, mesh: Mesh,
+                       quantize_matching: bool = False) -> ShardedPool:
     """Pad the pool arrays' frame axis to a 'pool'-shard multiple and place
-    them sharded; replicate the f0 track."""
+    them sharded; replicate the f0 track. quantize_matching swaps the fp32
+    matching rows for int8 + per-row inverse norms (4x less HBM; the fp32
+    rows are never uploaded)."""
     n_shards = mesh.shape["pool"]
     p_len = matching.shape[0]
     pad = (-p_len) % n_shards
@@ -62,13 +73,28 @@ def shard_speaker_pool(matching, synth, f0, harmonics, mesh: Mesh) -> ShardedPoo
     def put(a):
         return jax.device_put(jnp.pad(jnp.asarray(a), ((0, pad), (0, 0))), sharded)
 
+    matching_q8 = inv_norms = None
+    matching_sh = None
+    if quantize_matching:
+        from knnsvc_tpu.match.quantized_pool import quantize_pool
+
+        qp = quantize_pool(jax.device_get(matching))
+        matching_q8 = put(qp.values)          # int8 survives jnp.pad
+        inv_norms = jax.device_put(
+            jnp.pad(jnp.asarray(qp.inv_norms), (0, pad)),
+            NamedSharding(mesh, P("pool")))
+    else:
+        matching_sh = put(matching)
+
     return ShardedPool(
-        matching=put(matching),
+        matching=matching_sh,
         synth=put(synth),
         harmonics=None if harmonics is None else put(harmonics),
         f0=jax.device_put(jnp.asarray(f0), NamedSharding(mesh, P())),
         true_len=p_len,
         mesh=mesh,
+        matching_q8=matching_q8,
+        inv_norms=inv_norms,
     )
 
 
@@ -178,4 +204,93 @@ def sharded_match_core(
 
     out, shifted, harm = run(q, qf0, matching_sh, synth_sh, harm_sh,
                              pool_f0, true_len)
+    return out, shifted, (harm if use_harmonics else None)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "topk", "k", "use_harmonics"),
+)
+def sharded_match_core_int8(
+    q: jax.Array,               # (T, D) query features fp32, replicated
+    qf0: jax.Array,             # (T,) query f0, replicated
+    matching_q8: jax.Array,     # (P_pad, D) int8 sharded on 'pool'
+    inv_norms: jax.Array,       # (P_pad,) fp32 sharded on 'pool'
+    synth_sh: jax.Array,        # (P_pad, D) fp32 sharded
+    harm_sh: jax.Array,         # (P_pad, H) sharded (pass synth_sh when unused)
+    pool_f0: jax.Array,         # (P,) replicated, unpadded
+    true_len,
+    *,
+    mesh: Mesh,
+    topk: int,
+    use_harmonics: bool,
+    k: int = 32,
+):
+    """Serving variant of sharded_match_core with the matching pool stored
+    int8: the per-shard candidate search runs on the MXU's int8 path (query
+    rows quantized on device; row scales cancel in the cosine), the merge and
+    everything downstream is identical to the fp32 core's no_post_opt path.
+    Per-device matching bytes = P/(4*n_shards) of the replicated-fp32
+    baseline. The concat-cost / smoothness configs need fp32 matching rows —
+    use the fp32 sharded core for those."""
+    n_shards = mesh.shape["pool"]
+    p_pad = matching_q8.shape[0]
+    shard_len = p_pad // n_shards
+    k_local = min(k, shard_len)
+    assert n_shards * k_local >= k, (n_shards, shard_len, k)
+    true_len = jnp.asarray(true_len, dtype=jnp.int32)
+
+    # device-side row-wise query quantization (scales cancel in the cosine)
+    qf = q.astype(jnp.float32)
+    q_absmax = jnp.max(jnp.abs(qf), axis=1, keepdims=True)
+    q_scale = jnp.where(q_absmax > 0, q_absmax / 127.0, 1.0)
+    q8 = jnp.clip(jnp.round(qf / q_scale), -127, 127).astype(jnp.int8)
+    q_norm = jnp.linalg.norm(q8.astype(jnp.float32), axis=1, keepdims=True)
+    q_inv = jnp.where(q_norm > 0, 1.0 / q_norm, 0.0)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("pool", None), P("pool"), P("pool", None),
+                  P("pool", None), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,  # replicated past the merge (see fp32 core)
+    )
+    def run(q8, q_inv, qf0, pool8_l, inv_l, synth_l, harm_l, f0_full, tlen):
+        shard_id = jax.lax.axis_index("pool")
+        offset = shard_id * shard_len
+
+        def gather(local, idx):
+            li = jnp.clip(idx - offset, 0, shard_len - 1)
+            rows = local[li]
+            mask = (idx >= offset) & (idx < offset + shard_len)
+            return jax.lax.psum(jnp.where(mask[..., None], rows, 0), "pool")
+
+        dot = jax.lax.dot_general(
+            q8, pool8_l, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        dists = 1.0 - dot * q_inv * inv_l[None, :]          # (T, shard_len)
+        local_ids = jnp.arange(shard_len) + offset
+        dists = jnp.where((local_ids < tlen)[None, :], dists, jnp.inf)
+        neg_vals, local_top = jax.lax.top_k(-dists, k_local)
+        global_idx = local_ids[local_top]
+        all_vals = jax.lax.all_gather(-neg_vals, "pool", axis=0)
+        all_idx = jax.lax.all_gather(global_idx, "pool", axis=0)
+        all_vals = jnp.moveaxis(all_vals, 0, 1).reshape(q8.shape[0], -1)
+        all_idx = jnp.moveaxis(all_idx, 0, 1).reshape(q8.shape[0], -1)
+        _, pick = jax.lax.top_k(-all_vals, k)
+        nearest_nbrs = jnp.take_along_axis(all_idx, pick, axis=1).astype(jnp.int32)
+
+        shifted = shift_f0_to_target_register(qf0, f0_full)
+        out = jnp.mean(gather(synth_l, nearest_nbrs[:, :topk]), axis=1)
+        if use_harmonics:
+            pitched = sort_by_f0_compatibility(
+                shifted, f0_full, nearest_nbrs)[:, :topk]
+            harm = jnp.mean(gather(harm_l, pitched), axis=1)
+        else:
+            harm = jnp.zeros((q8.shape[0], 1), dtype=jnp.float32)
+        return out, shifted, harm
+
+    out, shifted, harm = run(q8, q_inv, qf0, matching_q8, inv_norms,
+                             synth_sh, harm_sh, pool_f0, true_len)
     return out, shifted, (harm if use_harmonics else None)

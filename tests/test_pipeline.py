@@ -433,3 +433,51 @@ def test_bulk_convert_fast_data_batched_matches_serial(tiny_world, tmp_path,
         # identical semantics; vmap/batch lowering may flip the last float
         # bit, which the int16 quantizer amplifies to one quantum (3.05e-5)
         np.testing.assert_allclose(ys, yb, atol=1e-4)
+
+
+def test_match_at_inference_time_sharded_int8(tiny_world):
+    """int8-sharded serving matcher: the matching pool lives int8 at
+    P/(4*n_shards) bytes per device, no fp32 matching array is ever created,
+    and selections agree with the exact matcher at the dense-int8 rate."""
+    root, src_dir, tgt_dir, cfg, params, w = tiny_world
+    from knnsvc_tpu.match.pool import build_speaker_pool
+
+    ref_pool = build_speaker_pool(tgt_dir, params, cfg, w, w)
+    # int8 run FIRST: the prep memo is shared per pool, and the exact run
+    # legitimately uploads the fp32 matching for itself afterwards
+    q8 = match_at_inference_time(
+        src_dir, tgt_dir, params, cfg, w, w, ckpt_type="mix",
+        post_opt="no_post_opt", matcher="sharded_int8", ref_pool=ref_pool)
+
+    # HBM honesty: no replicated fp32 matching; int8 values + inv-norms
+    # sharded at P_pad/n_dev rows per device
+    prep = ref_pool.__dict__["_device_prep"]
+    assert "matching" not in prep
+    sp = prep["sharded_int8"]
+    assert sp.matching is None and sp.matching_q8.dtype == jnp.int8
+    n_dev = len(jax.devices())
+    for arr in (sp.matching_q8, sp.inv_norms, sp.synth):
+        shards = arr.addressable_shards
+        assert len(shards) == n_dev
+        for s in shards:
+            assert s.data.shape[0] == arr.shape[0] // n_dev
+
+    exact = match_at_inference_time(
+        src_dir, tgt_dir, params, cfg, w, w, ckpt_type="mix",
+        post_opt="no_post_opt", ref_pool=ref_pool)
+
+    # selection agreement with exact (quantization-level, like dense int8)
+    for key in exact:
+        e = exact[key].out_feats_weighted
+        s = q8[key].out_feats_weighted
+        frame_same = np.mean(np.all(np.isclose(e, s, atol=1e-5), axis=1))
+        assert frame_same > 0.8, frame_same
+        np.testing.assert_allclose(
+            exact[key].shifted_query_f0, q8[key].shifted_query_f0, atol=1e-6)
+
+    # serving-only: post_opt through the int8-sharded matcher must refuse
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        match_at_inference_time(
+            src_dir, tgt_dir, params, cfg, w, w, ckpt_type="mix",
+            post_opt="post_opt_0.2", matcher="sharded_int8", ref_pool=ref_pool)
