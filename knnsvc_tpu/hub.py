@@ -498,9 +498,9 @@ class KnnSvc:
         from knnsvc_tpu.match.f0_logic import masked_log_median
         from knnsvc_tpu.match.pool import build_device_pool, load_utterance
 
-        if matcher not in ("exact", "approx"):
-            raise ValueError(f"streaming supports matcher 'exact' or "
-                             f"'approx', not {matcher!r}")
+        if matcher not in ("exact", "approx", "sharded", "sharded_int8"):
+            raise ValueError(f"streaming supports matcher 'exact', 'approx', "
+                             f"'sharded' or 'sharded_int8', not {matcher!r}")
         hop = HOP_LENGTH
         F = max(1, int(round(chunk_s * self.sr)) // hop)
         C = max(0, int(round(context_s * self.sr)) // hop)
@@ -512,6 +512,15 @@ class KnnSvc:
         ref = build_device_pool(ref_wav, self.wavlm_params, self.wavlm_cfg,
                                 self.weighting, self.weighting, self.sr,
                                 f0_method="fast", audio_path=str(ref_wav_file))
+        sharded = None
+        if matcher in ("sharded", "sharded_int8"):
+            from knnsvc_tpu.match.pipeline import _default_pool_mesh
+            from knnsvc_tpu.parallel.sharded_match import shard_speaker_pool
+
+            sharded = shard_speaker_pool(
+                ref.matching, ref.synth, ref.f0, ref.harmonics,
+                _default_pool_mesh(),
+                quantize_matching=matcher == "sharded_int8")
         po = PostOpt.parse(post_opt)
         voiced = np.zeros(0, np.float32)  # running voiced-f0 history
         chunk_idx = 0
@@ -546,7 +555,7 @@ class KnnSvc:
                 wpool.matching, wpool.f0, ref.matching, ref.synth, ref.f0,
                 ref.harmonics, ckpt_type=self.ckpt_type, post_opt=po,
                 topk=topk, prioritize_f0=prioritize_f0, matcher=matcher,
-                as_numpy=False, query_f0_log_median=anchor)
+                sharded=sharded, as_numpy=False, query_f0_log_median=anchor)
             vm = max(0, int(vocode_margin_frames))
             v_lo, v_hi = max(0, c_lo - vm), min(t_local, c_hi + vm)
             harm = feats.harmonics_out_feats_weighted

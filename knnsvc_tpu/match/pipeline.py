@@ -299,8 +299,6 @@ def match_utterance(
             sharded_match_core, sharded_match_core_int8)
 
         assert sharded is not None, f"matcher={matcher!r} needs a ShardedPool"
-        assert query_f0_log_median is None, (
-            "register anchoring is not plumbed through the sharded core yet")
         use_harm = uses_harmonics(ckpt_type)
         if sharded.matching_q8 is not None:
             assert not post_opt.enabled and post_opt.concat_weight == -1.0, (
@@ -310,13 +308,13 @@ def match_utterance(
                 q, jnp.asarray(query_f0), sharded.matching_q8,
                 sharded.inv_norms, sharded.synth,
                 sharded.harmonics if use_harm else sharded.synth, sharded.f0,
-                sharded.true_len, mesh=sharded.mesh, topk=topk,
+                sharded.true_len, qmed, mesh=sharded.mesh, topk=topk,
                 use_harmonics=use_harm)
         else:
             out, shifted, harm = sharded_match_core(
                 q, jnp.asarray(query_f0), sharded.matching, sharded.synth,
                 sharded.harmonics if use_harm else sharded.synth, sharded.f0,
-                sharded.true_len, mesh=sharded.mesh, topk=topk,
+                sharded.true_len, qmed, mesh=sharded.mesh, topk=topk,
                 use_harmonics=use_harm, concat_weight=post_opt.concat_weight,
                 opt_enabled=post_opt.enabled)
         if not as_numpy:

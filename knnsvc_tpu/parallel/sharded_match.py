@@ -111,6 +111,7 @@ def sharded_match_core(
     harm_sh: jax.Array,         # (P_pad, H) sharded (pass synth_sh when unused)
     pool_f0: jax.Array,         # (P,) replicated, unpadded
     true_len,                   # unpadded pool length (traced scalar ok)
+    qmed,                       # scalar register anchor (NaN = query median)
     *,
     mesh: Mesh,
     topk: int,
@@ -134,13 +135,13 @@ def sharded_match_core(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P(), P("pool", None), P("pool", None), P("pool", None),
-                  P(), P()),
+                  P(), P(), P()),
         out_specs=(P(), P(), P()),
         # every shard computes identical replicated results past the merge;
         # the static varying-axes check cannot prove that
         check_vma=False,
     )
-    def run(q, qf0, pool_l, synth_l, harm_l, f0_full, tlen):
+    def run(q, qf0, pool_l, synth_l, harm_l, f0_full, tlen, qmed):
         shard_id = jax.lax.axis_index("pool")
         offset = shard_id * shard_len
 
@@ -166,7 +167,7 @@ def sharded_match_core(
         nearest_nbrs = jnp.take_along_axis(all_idx, pick, axis=1).astype(jnp.int32)
 
         # ---- replicated downstream (identical on every shard) ----
-        shifted = shift_f0_to_target_register(qf0, f0_full)
+        shifted = shift_f0_to_target_register(qf0, f0_full, qmed)
         target_idx = nearest_nbrs[:, :topk]
         pitched_idx = None
         if use_harmonics:
@@ -203,7 +204,7 @@ def sharded_match_core(
         return out, shifted, harm
 
     out, shifted, harm = run(q, qf0, matching_sh, synth_sh, harm_sh,
-                             pool_f0, true_len)
+                             pool_f0, true_len, qmed)
     return out, shifted, (harm if use_harmonics else None)
 
 
@@ -220,6 +221,7 @@ def sharded_match_core_int8(
     harm_sh: jax.Array,         # (P_pad, H) sharded (pass synth_sh when unused)
     pool_f0: jax.Array,         # (P,) replicated, unpadded
     true_len,
+    qmed,                       # scalar register anchor (NaN = query median)
     *,
     mesh: Mesh,
     topk: int,
@@ -252,11 +254,12 @@ def sharded_match_core_int8(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P(), P(), P("pool", None), P("pool"), P("pool", None),
-                  P("pool", None), P(), P()),
+                  P("pool", None), P(), P(), P()),
         out_specs=(P(), P(), P()),
         check_vma=False,  # replicated past the merge (see fp32 core)
     )
-    def run(q8, q_inv, qf0, pool8_l, inv_l, synth_l, harm_l, f0_full, tlen):
+    def run(q8, q_inv, qf0, pool8_l, inv_l, synth_l, harm_l, f0_full, tlen,
+            qmed):
         shard_id = jax.lax.axis_index("pool")
         offset = shard_id * shard_len
 
@@ -281,7 +284,7 @@ def sharded_match_core_int8(
         _, pick = jax.lax.top_k(-all_vals, k)
         nearest_nbrs = jnp.take_along_axis(all_idx, pick, axis=1).astype(jnp.int32)
 
-        shifted = shift_f0_to_target_register(qf0, f0_full)
+        shifted = shift_f0_to_target_register(qf0, f0_full, qmed)
         out = jnp.mean(gather(synth_l, nearest_nbrs[:, :topk]), axis=1)
         if use_harmonics:
             pitched = sort_by_f0_compatibility(
@@ -292,5 +295,5 @@ def sharded_match_core_int8(
         return out, shifted, harm
 
     out, shifted, harm = run(q8, q_inv, qf0, matching_q8, inv_norms,
-                             synth_sh, harm_sh, pool_f0, true_len)
+                             synth_sh, harm_sh, pool_f0, true_len, qmed)
     return out, shifted, (harm if use_harmonics else None)

@@ -167,6 +167,24 @@ def test_stream_single_chunk_post_opt_equals_fast_pair(svc_world, tmp_path):
     np.testing.assert_array_equal(chunks[0], batch)
 
 
+@pytest.mark.slow
+def test_stream_single_chunk_sharded_int8_equals_fast_pair(svc_world,
+                                                           tmp_path):
+    """Streaming composes with the scaled serving matchers: a single-chunk
+    stream through the int8-sharded matcher (8-device CPU mesh) is
+    bit-identical to the fast pair path with the same matcher."""
+    root, knn = svc_world
+    src, ref = str(root / "src_sing.wav"), str(root / "ref.wav")
+    batch_path = knn.convert_pair(src, ref, matcher="sharded_int8", fast=True,
+                                  output_path=str(tmp_path / "batch.wav"))
+    batch = np.asarray(load_audio(batch_path)[0])[0]
+    chunks = list(knn.stream_convert_chunks(src, ref, chunk_s=2.0,
+                                            context_s=0.5,
+                                            matcher="sharded_int8"))
+    assert len(chunks) == 1
+    np.testing.assert_array_equal(chunks[0], batch)
+
+
 def test_register_anchor_semantics():
     """The property streaming depends on: shifting a CHUNK with the full-
     utterance anchor equals shifting the full utterance and slicing; an
