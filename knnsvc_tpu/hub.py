@@ -700,13 +700,13 @@ class KnnSvc:
         from knnsvc_tpu.match.pipeline import _default_pool_mesh, match_utterance, subset_key
         from knnsvc_tpu.match.pool import list_speaker_utterances
 
-        if matcher not in ("exact", "approx", "sharded"):
+        if matcher not in ("exact", "approx", "sharded", "sharded_int8"):
             raise ValueError(
-                f"bulk_convert(fast=True) supports matcher 'exact', 'approx' "
-                f"or 'sharded', not {matcher!r}")
+                f"bulk_convert(fast=True) supports matcher 'exact', 'approx',"
+                f" 'sharded' or 'sharded_int8', not {matcher!r}")
         popt = PostOpt.parse(post_opt)
         pool_mesh = None
-        if matcher == "sharded":
+        if matcher in ("sharded", "sharded_int8"):
             pool_mesh = mesh if mesh is not None and "pool" in mesh.shape \
                 and mesh.shape["pool"] > 1 else _default_pool_mesh()
         queries = self._HostQueryCache(self)
@@ -738,21 +738,22 @@ class KnnSvc:
                     if ref is None:
                         ref = self._device_pool_for_files(
                             list_speaker_utterances(tgt_spk), duration_limit)
-                        if matcher == "sharded":
+                        if matcher in ("sharded", "sharded_int8"):
                             from knnsvc_tpu.parallel.sharded_match import shard_speaker_pool
 
                             ref = shard_speaker_pool(
                                 ref.matching, ref.synth, ref.f0,
-                                ref.harmonics, pool_mesh)
+                                ref.harmonics, pool_mesh,
+                                quantize_matching=matcher == "sharded_int8")
                     m0, f00 = queries.get(src_file)
                     m, qf0, T = self._bucket_pad_query(m0, f00)
                     Tb = m.shape[0]
-                    if matcher == "sharded":
+                    if matcher in ("sharded", "sharded_int8"):
                         feats = match_utterance(
                             m, qf0, None, None, None, None,
                             ckpt_type=self.ckpt_type, post_opt=popt,
                             topk=topk, prioritize_f0=prioritize_f0,
-                            matcher="sharded", sharded=ref, as_numpy=False)
+                            matcher=matcher, sharded=ref, as_numpy=False)
                     else:
                         feats = match_utterance(
                             m, qf0, ref.matching, ref.synth, ref.f0,
