@@ -36,6 +36,13 @@ def main():
     wav = knn.match(query, pool, query_f0=f0, topk=4)
     print("legacy match output:", wav.shape)
 
+    # streaming surface (r3; no reference analogue): bounded-latency chunks
+    n = 0
+    for chunk in knn.stream_convert_chunks(args.src, args.ref, chunk_s=2.0,
+                                           context_s=1.0):
+        n += len(chunk)
+    print(f"streamed {n / 16000:.1f} s in 2 s chunks (3 s window latency)")
+
 
 if __name__ == "__main__":
     main()
