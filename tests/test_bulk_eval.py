@@ -155,3 +155,17 @@ def test_cli_pair_and_folder_modes(bulk_world, tmp_path, monkeypatch):
     assert expect_dir.is_dir(), sorted(p.name for p in tgt_root.parent.iterdir())
     wavs = list(expect_dir.rglob("*.wav"))
     assert len(wavs) == 8
+
+
+@pytest.mark.slow
+def test_bulk_convert_fast_sharded_int8(bulk_world, tmp_path):
+    """Bulk serving through the int8-sharded matcher (8-device CPU mesh):
+    same output tree, valid audio."""
+    root, src_root, tgt_root, knn = bulk_world
+    out_dir = tmp_path / "converted_q8"
+    written = knn.bulk_convert(str(src_root), str(tgt_root), str(out_dir),
+                               fast=True, matcher="sharded_int8")
+    assert len(written) == 8
+    for p in written:
+        y, sr = load_audio(p)
+        assert sr == 16000 and np.isfinite(y).all() and np.abs(y).max() <= 1.0
