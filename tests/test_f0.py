@@ -131,3 +131,30 @@ def test_fast_method_does_not_poison_parity_sidecar(tmp_path):
     np.save(tmp_path / "utt_f0.npy", parity)
     got = get_f0(wav, sr, audio_path=str(p), method="yin")
     np.testing.assert_array_equal(got, parity)
+
+
+@pytest.mark.slow
+def test_harvest_heldout_suite_regression(tmp_path):
+    """Out-of-sample accuracy lock: the synthetic known-f0 HELD-OUT split
+    (deterministic seed, never used for tuning) must stay at the round-3
+    grade. Guards against gate/DP regressions that the two-sidecar test
+    cannot see (it was part of the tuning truth)."""
+    harvest = pytest.importorskip("knnsvc_tpu.dsp.harvest")
+    try:
+        harvest.harvest_f0(_tone(220.0), 16000)
+    except OSError:
+        pytest.skip("native toolchain unavailable")
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import f0_truth_suite as suite
+
+    suite.generate(str(tmp_path), "heldout")
+    stats = suite.evaluate(str(tmp_path), "heldout", "harvest")
+    # round-3 baked defaults measured P .991 / R .996 / w50 .936 / 0.34c;
+    # bounds leave headroom for platform noise, not for regressions
+    assert stats["precision"] > 0.97, stats
+    assert stats["recall"] > 0.98, stats
+    assert stats["within_50_cents"] > 0.90, stats
+    assert stats["median_cents"] < 1.0, stats
