@@ -508,6 +508,13 @@ class KnnSvc:
             wav = load_utterance(src, self.sr)
         else:
             wav = np.asarray(src, dtype=np.float32)
+        # WavLM's conv frontend trims ~1 frame per window edge, so a chunked
+        # stream needs at least one hop of real context or every mid-stream
+        # window comes up short of F center frames (silent truncation). Clamp
+        # to one frame whenever the input actually spans multiple chunks;
+        # C=0 stays honored for single-chunk inputs (no boundary to protect).
+        if C == 0 and len(wav) > F * hop:
+            C = 1
         ref_wav = load_utterance(ref_wav_file, self.sr)
         ref = build_device_pool(ref_wav, self.wavlm_params, self.wavlm_cfg,
                                 self.weighting, self.weighting, self.sr,
@@ -522,6 +529,17 @@ class KnnSvc:
                 _default_pool_mesh(),
                 quantize_matching=matcher == "sharded_int8")
         po = PostOpt.parse(post_opt)
+        # cross-chunk concat continuity (dense matchers): the concat-cost
+        # scan's carry (previous emitted frame's selections + the sticky
+        # concat-weight latch, ref lib_ongaku_test.py:294-336) threads from
+        # chunk to chunk, so chunk N+1's first frame sees chunk N's
+        # selection — the reference's whole-utterance serial semantics.
+        # The sharded matchers run their fused scan per window (carry not
+        # yet threaded through the shard_map core).
+        continuity = (po.concat_weight != -1.0
+                      and matcher in ("exact", "approx"))
+        carry = None              # (sel (L, k), sticky weight) at last frame
+        tail = None               # (out, harm, global start) prev chunk slice
         voiced = np.zeros(0, np.float32)  # running voiced-f0 history
         chunk_idx = 0
         while True:
@@ -544,6 +562,16 @@ class KnnSvc:
             if c_lo >= t_local:
                 break
             c_hi = min(c_lo + F, t_local)
+            # end-of-input comes from the SAMPLE position, not the encoder's
+            # frame count — the conv frontend trims edge frames, so a short
+            # encode does not mean the waveform ran out (ADVICE r3)
+            last = (g_lo + F) * hop >= len(wav)
+            if not last and c_hi < c_lo + F:
+                raise ValueError(
+                    f"streaming window encoded to {t_local} frames, fewer "
+                    f"than the {c_lo + F} needed for a full mid-stream chunk "
+                    f"— increase context_s (>= {2 * hop / self.sr:.3f}s) so "
+                    f"the encoder's edge trim eats context, not output")
             # register anchor: running voiced-f0 median (torch-median
             # semantics via the same jnp helper the core uses)
             f0_np = np.asarray(wpool.f0)
@@ -551,12 +579,49 @@ class KnnSvc:
             voiced = np.concatenate([voiced, new_v[new_v > 0]])
             anchor = (float(masked_log_median(jnp.asarray(voiced)))
                       if len(voiced) else None)
+            vm = max(0, int(vocode_margin_frames))
+            if continuity:
+                from knnsvc_tpu.match.pipeline import match_utterance_stream
+
+                out_s, shifted_full, harm_s, carry_at = match_utterance_stream(
+                    wpool.matching, wpool.f0, ref.matching, ref.synth,
+                    ref.f0, ref.harmonics, ckpt_type=self.ckpt_type,
+                    post_opt=po, scan_from=c_lo, carry=carry, topk=topk,
+                    matcher=matcher, query_f0_log_median=anchor)
+                if not last:
+                    carry = carry_at(c_hi)
+                # vocoder warm-up margins: the left margin re-uses the
+                # PREVIOUS chunk's computed features (the ones actually
+                # emitted), the right margin comes from this window's scan
+                v_hi = min(t_local, c_hi + vm)
+                lm = 0 if tail is None else min(vm, c_lo, g_lo - tail[2])
+                feats_v = out_s[: v_hi - c_lo]
+                harm_v = None if harm_s is None else harm_s[: v_hi - c_lo]
+                if lm > 0:
+                    off = g_lo - lm - tail[2]
+                    feats_v = jnp.concatenate([tail[0][off:off + lm], feats_v])
+                    if harm_v is not None:
+                        harm_v = jnp.concatenate(
+                            [tail[1][off:off + lm], harm_v])
+                f0_v = shifted_full[c_lo - lm : v_hi]
+                wav_v = hifigan_vocode(
+                    self.hifigan_params, self.h, self.family, feats_v[None],
+                    f0_v.reshape(1, -1, 1),
+                    None if harm_v is None else harm_v[None])
+                q = _quantize_int16(wav_v[0])
+                chunk_wav = np.asarray(q).astype(np.float32) / 32768.0
+                a = lm * hop
+                yield chunk_wav[a : a + (c_hi - c_lo) * hop]
+                tail = (out_s, harm_s, g_lo)
+                if last:
+                    break
+                chunk_idx += 1
+                continue
             feats = match_utterance(
                 wpool.matching, wpool.f0, ref.matching, ref.synth, ref.f0,
                 ref.harmonics, ckpt_type=self.ckpt_type, post_opt=po,
                 topk=topk, prioritize_f0=prioritize_f0, matcher=matcher,
                 sharded=sharded, as_numpy=False, query_f0_log_median=anchor)
-            vm = max(0, int(vocode_margin_frames))
             v_lo, v_hi = max(0, c_lo - vm), min(t_local, c_hi + vm)
             harm = feats.harmonics_out_feats_weighted
             shifted = feats.shifted_query_f0
@@ -570,8 +635,8 @@ class KnnSvc:
             chunk_wav = np.asarray(q).astype(np.float32) / 32768.0
             a = (c_lo - v_lo) * hop
             yield chunk_wav[a : a + (c_hi - c_lo) * hop]
-            if c_hi < c_lo + F:
-                break  # the encoder ran out of frames: final partial chunk
+            if last:
+                break
             chunk_idx += 1
 
     def stream_convert(self, src_wav_file: str, ref_wav_file: str,
@@ -960,6 +1025,15 @@ class KnnSvc:
                     and mesh.shape["data"] > 1:
                 data_batch = mesh.shape["data"]
             if data_batch is not None and data_batch > 1:
+                # validate divisibility up front: match_utterances_batched
+                # requires the mesh 'data' axis to divide the batch, and a
+                # mid-run failure would leave a half-written output tree
+                if (mesh is not None and "data" in mesh.shape
+                        and data_batch % mesh.shape["data"] != 0):
+                    raise ValueError(
+                        f"data_batch={data_batch} must be a multiple of the "
+                        f"mesh 'data' axis ({mesh.shape['data']}) so each "
+                        f"dispatch shards evenly across chips")
                 return self._bulk_convert_fast_batched(
                     src_spks, tgt_spks, src_dataset_path == tgt_dataset_path,
                     converted_audio_dir, topk, prioritize_f0, post_opt,

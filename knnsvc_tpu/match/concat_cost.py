@@ -16,6 +16,14 @@ Replicated quirks (deliberate, for parity):
   variable `concat_weight = 0` once a frame's source-continuity baseline is
   >= 0.08, silencing the concat term for ALL later frames
   (lib_ongaku_test.py:325-332). Carried through the scan state here.
+
+Streaming: the `*_stream_core` variants take the scan carry EXPLICITLY
+(previous frame's selections + the sticky weight) and run every provided
+frame through the body — chaining them over consecutive chunks reproduces
+the whole-utterance serial pass exactly (chunk N+1's first frame sees chunk
+N's last selection, and the sticky latch never resets at a boundary). The
+standard cores are expressed through the same body, so the two families
+cannot drift apart.
 """
 
 from __future__ import annotations
@@ -33,6 +41,45 @@ def _cos_dist_rows(a: jax.Array, b: jax.Array) -> jax.Array:
     an = jnp.linalg.norm(a, axis=-1, keepdims=True)
     bn = jnp.linalg.norm(b, axis=-1, keepdims=True)
     return 1.0 - (a @ b.T) / (an * bn.T)
+
+
+def _single_body(gather_rows, pool_limit, pitched: bool, tgt_log_f0,
+                 concat_weight: float):
+    """Scan body for the single-lane pass. carry = (prev selected ids (k,),
+    their pool rows (k, D), sticky weight scalar); per-frame output =
+    (new ids, weight after this frame)."""
+
+    def body(carry, inputs):
+        prev_idx, prev_feats, weight = carry         # (k,), (k, D), scalar
+        own_cand, src_vec, baseline, src_lf0 = inputs
+
+        extra = jnp.minimum(prev_idx + 1, pool_limit - 1)
+        cand = jnp.concatenate([own_cand, extra])    # (2k,)
+        cand_feats = gather_rows(cand)               # (2k, D)
+
+        matching_cost = _cos_dist_rows(src_vec[None], cand_feats)[0]        # (2k,)
+        concat_cost = _cos_dist_rows(prev_feats, cand_feats)                # (k, 2k)
+
+        if pitched:
+            pitch_cost = jnp.abs(tgt_log_f0[cand] - src_lf0)                # (2k,)
+            low = baseline < 0.08
+            concat_cost = jnp.where(
+                low & (concat_cost < 5.0 * baseline), 0.0, concat_cost
+            )
+            weight = jnp.where(low, weight, 0.0)     # sticky zeroing
+            total = weight * torch_median(concat_cost, axis=0) + matching_cost + pitch_cost
+        else:
+            concat_cost = jnp.where(
+                concat_cost > baseline, 1.5 * concat_cost - baseline, concat_cost
+            )
+            total = concat_weight * torch_median(concat_cost, axis=0) + matching_cost
+
+        k = prev_idx.shape[0]
+        neg_vals, pick = jax.lax.top_k(-total, k)
+        new_idx = cand[pick]
+        return (new_idx, cand_feats[pick], weight), (new_idx, weight)
+
+    return body
 
 
 def concat_cost_core(
@@ -62,35 +109,8 @@ def concat_cost_core(
     src_n = src_elements / jnp.linalg.norm(src_elements, axis=-1, keepdims=True)
     baselines = 2.0 * (1.0 - jnp.sum(src_n[:-1] * src_n[1:], axis=-1))  # (T-1,)
 
-    def body(carry, inputs):
-        prev_idx, prev_feats, weight = carry         # (k,), (k, D), scalar
-        own_cand, src_vec, baseline, src_lf0 = inputs
-
-        extra = jnp.minimum(prev_idx + 1, pool_limit - 1)
-        cand = jnp.concatenate([own_cand, extra])    # (2k,)
-        cand_feats = gather_rows(cand)               # (2k, D)
-
-        matching_cost = _cos_dist_rows(src_vec[None], cand_feats)[0]        # (2k,)
-        concat_cost = _cos_dist_rows(prev_feats, cand_feats)                # (k, 2k)
-
-        if pitched:
-            pitch_cost = jnp.abs(tgt_log_f0[cand] - src_lf0)                # (2k,)
-            low = baseline < 0.08
-            concat_cost = jnp.where(
-                low & (concat_cost < 5.0 * baseline), 0.0, concat_cost
-            )
-            weight = jnp.where(low, weight, 0.0)     # sticky zeroing
-            total = weight * torch_median(concat_cost, axis=0) + matching_cost + pitch_cost
-        else:
-            concat_cost = jnp.where(
-                concat_cost > baseline, 1.5 * concat_cost - baseline, concat_cost
-            )
-            total = concat_weight * torch_median(concat_cost, axis=0) + matching_cost
-
-        neg_vals, pick = jax.lax.top_k(-total, k)
-        new_idx = cand[pick]
-        return (new_idx, cand_feats[pick], weight), new_idx
-
+    body = _single_body(gather_rows, pool_limit, pitched, tgt_log_f0,
+                        concat_weight)
     init = (target_feature_indices[0], gather_rows(target_feature_indices[0]),
             jnp.float32(concat_weight))
     xs = (
@@ -101,8 +121,44 @@ def concat_cost_core(
     )
     # unroll amortizes the device loop-control overhead; the recurrence
     # itself (frame t needs frame t-1's picks) is unchanged
-    _, rest = jax.lax.scan(body, init, xs, unroll=8)
+    _, (rest, _) = jax.lax.scan(body, init, xs, unroll=8)
     return jnp.concatenate([target_feature_indices[:1], rest], axis=0)
+
+
+def concat_cost_stream_core(
+    gather_rows,
+    target_feature_indices: jax.Array,   # (T, k) int32 — ALL frames scanned
+    prev_src: jax.Array,                 # (D,) previous frame's source vector
+    src_elements: jax.Array,             # (T, D)
+    pool_limit,
+    prev_idx: jax.Array,                 # (k,) previous frame's selection
+    prev_weight: jax.Array,              # scalar sticky weight (pitched mode)
+    shifted_src_f0: jax.Array | None = None,
+    tgt_log_f0: jax.Array | None = None,
+    concat_weight: float = 0.2,
+) -> tuple[jax.Array, jax.Array]:
+    """Single-lane scan continuing from an explicit carry: every frame of
+    `target_feature_indices` goes through the body with frame 0's previous
+    state = (prev_idx, prev_weight) and its continuity baseline computed
+    against `prev_src`. Returns (selections (T, k), sticky weight AFTER each
+    frame (T,)) — chain chunks by feeding frame c's outputs as the next
+    chunk's carry."""
+    T, k = target_feature_indices.shape
+    pitched = shifted_src_f0 is not None
+    src_log_f0 = (jnp.log2(shifted_src_f0 + 1e-5) if pitched
+                  else jnp.zeros((T,)))
+
+    src_all = jnp.concatenate([prev_src[None], src_elements])          # (T+1, D)
+    src_n = src_all / jnp.linalg.norm(src_all, axis=-1, keepdims=True)
+    baselines = 2.0 * (1.0 - jnp.sum(src_n[:-1] * src_n[1:], axis=-1))  # (T,)
+
+    body = _single_body(gather_rows, pool_limit, pitched, tgt_log_f0,
+                        concat_weight)
+    init = (prev_idx, gather_rows(prev_idx),
+            jnp.asarray(prev_weight, jnp.float32))
+    xs = (target_feature_indices, src_elements, baselines, src_log_f0)
+    _, (sel, weights) = jax.lax.scan(body, init, xs, unroll=8)
+    return sel, weights
 
 
 @functools.partial(jax.jit, static_argnames=("concat_weight",))
@@ -121,31 +177,16 @@ def knn_with_concat_cost(
         tgt_elements.shape[0], shifted_src_f0, tgt_log_f0, concat_weight)
 
 
-def concat_cost_pair_core(
-    gather_rows,                # (..,) int32 global ids -> (.., D) pool rows
-    idx_unpitched: jax.Array,   # (T, k) int32 — top-k of the raw kNN
-    idx_pitched: jax.Array,     # (T, k) int32 — f0-prioritized selection
-    src_elements: jax.Array,    # (T, D)
-    pool_limit,                 # last valid pool row + 1 (int or traced)
-    shifted_src_f0: jax.Array,  # (T,) Hz
-    tgt_log_f0: jax.Array,      # (P,) log2(Hz + 1e-5)
-    concat_weight: float = 0.2,
-) -> tuple[jax.Array, jax.Array]:
-    """Both concat-cost reselections of the post_opt pipeline in ONE scan,
-    gather-parameterized like `concat_cost_core` (the pool is read only via
-    `gather_rows`; previous picks' rows ride the carry)."""
-    T, k = idx_unpitched.shape
+def _pair_body(gather_rows, pool_limit, tgt_log_f0, concat_weight: float):
+    """Scan body for the lane-stacked pair pass (lane 0 = unpitched, lane 1
+    = pitched; the sticky weight belongs to lane 1). Per-frame output =
+    (new ids (2, k), weight after this frame)."""
 
-    src_log_f0 = jnp.log2(shifted_src_f0 + 1e-5)
-
-    src_n = src_elements / jnp.linalg.norm(src_elements, axis=-1, keepdims=True)
-    baselines = 2.0 * (1.0 - jnp.sum(src_n[:-1] * src_n[1:], axis=-1))  # (T-1,)
-
-    # lane 0 = unpitched, lane 1 = pitched (sticky weight carries per lane)
     def body(carry, inputs):
         prev_idx, prev_feats, p_weight = carry         # (2, k), (2, k, D), scalar
         own_cand, src_vec, baseline, src_lf0 = inputs  # (2, k), (D,), (), ()
 
+        k = prev_idx.shape[1]
         extra = jnp.minimum(prev_idx + 1, pool_limit - 1)
         cand = jnp.concatenate([own_cand, extra], axis=1)       # (2, 2k)
         cand_feats = gather_rows(cand)                           # (2, 2k, D)
@@ -172,14 +213,69 @@ def concat_cost_pair_core(
         _, pick = jax.lax.top_k(-total, k)                       # (2, k)
         new_idx = jnp.take_along_axis(cand, pick, axis=1)
         new_feats = jnp.take_along_axis(cand_feats, pick[..., None], axis=1)
-        return (new_idx, new_feats, p_weight), new_idx
+        return (new_idx, new_feats, p_weight), (new_idx, p_weight)
 
+    return body
+
+
+def concat_cost_pair_core(
+    gather_rows,                # (..,) int32 global ids -> (.., D) pool rows
+    idx_unpitched: jax.Array,   # (T, k) int32 — top-k of the raw kNN
+    idx_pitched: jax.Array,     # (T, k) int32 — f0-prioritized selection
+    src_elements: jax.Array,    # (T, D)
+    pool_limit,                 # last valid pool row + 1 (int or traced)
+    shifted_src_f0: jax.Array,  # (T,) Hz
+    tgt_log_f0: jax.Array,      # (P,) log2(Hz + 1e-5)
+    concat_weight: float = 0.2,
+) -> tuple[jax.Array, jax.Array]:
+    """Both concat-cost reselections of the post_opt pipeline in ONE scan,
+    gather-parameterized like `concat_cost_core` (the pool is read only via
+    `gather_rows`; previous picks' rows ride the carry)."""
+    T, k = idx_unpitched.shape
+
+    src_log_f0 = jnp.log2(shifted_src_f0 + 1e-5)
+
+    src_n = src_elements / jnp.linalg.norm(src_elements, axis=-1, keepdims=True)
+    baselines = 2.0 * (1.0 - jnp.sum(src_n[:-1] * src_n[1:], axis=-1))  # (T-1,)
+
+    body = _pair_body(gather_rows, pool_limit, tgt_log_f0, concat_weight)
     stacked = jnp.stack([idx_unpitched, idx_pitched], axis=1)    # (T, 2, k)
     init = (stacked[0], gather_rows(stacked[0]), jnp.float32(concat_weight))
     xs = (stacked[1:], src_elements[1:], baselines, src_log_f0[1:])
-    _, rest = jax.lax.scan(body, init, xs, unroll=8)
+    _, (rest, _) = jax.lax.scan(body, init, xs, unroll=8)
     out = jnp.concatenate([stacked[:1], rest], axis=0)           # (T, 2, k)
     return out[:, 0], out[:, 1]
+
+
+def concat_cost_pair_stream_core(
+    gather_rows,
+    idx_unpitched: jax.Array,   # (T, k) int32 — ALL frames scanned
+    idx_pitched: jax.Array,     # (T, k) int32
+    prev_src: jax.Array,        # (D,) previous frame's source vector
+    src_elements: jax.Array,    # (T, D)
+    pool_limit,
+    shifted_src_f0: jax.Array,  # (T,) Hz
+    tgt_log_f0: jax.Array,      # (P,) log2(Hz + 1e-5)
+    prev_idx: jax.Array,        # (2, k) previous frame's selections
+    prev_weight: jax.Array,     # scalar sticky weight after that frame
+    concat_weight: float = 0.2,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Lane-stacked pair scan continuing from an explicit carry (see
+    `concat_cost_stream_core`). Returns (unpitched (T, k), pitched (T, k),
+    sticky weight AFTER each frame (T,))."""
+    src_log_f0 = jnp.log2(shifted_src_f0 + 1e-5)
+
+    src_all = jnp.concatenate([prev_src[None], src_elements])           # (T+1, D)
+    src_n = src_all / jnp.linalg.norm(src_all, axis=-1, keepdims=True)
+    baselines = 2.0 * (1.0 - jnp.sum(src_n[:-1] * src_n[1:], axis=-1))   # (T,)
+
+    body = _pair_body(gather_rows, pool_limit, tgt_log_f0, concat_weight)
+    stacked = jnp.stack([idx_unpitched, idx_pitched], axis=1)            # (T, 2, k)
+    init = (prev_idx, gather_rows(prev_idx),
+            jnp.asarray(prev_weight, jnp.float32))
+    xs = (stacked, src_elements, baselines, src_log_f0)
+    _, (sel, weights) = jax.lax.scan(body, init, xs, unroll=8)
+    return sel[:, 0], sel[:, 1], weights
 
 
 @functools.partial(jax.jit, static_argnames=("concat_weight",))

@@ -122,6 +122,163 @@ def _match_core_post_opt(q, matching, synth, pool_f0, harmonics, qf0, qmed,
     return out, shifted, harm
 
 
+@functools.partial(jax.jit, static_argnames=("topk", "approx", "use_harmonics",
+                                             "concat_weight", "opt_enabled",
+                                             "scan_from", "has_carry"))
+def _match_core_post_opt_stream(q, matching, synth, pool_f0, harmonics, qf0,
+                                qmed, carry_idx, carry_weight,
+                                topk: int, approx: bool, use_harmonics: bool,
+                                concat_weight: float, opt_enabled: bool,
+                                scan_from: int, has_carry: bool):
+    """The post_opt match for ONE streaming window, continuing the concat
+    scan from an explicit cross-chunk carry (VERDICT r3 #2).
+
+    kNN + register shift run over ALL window frames (the vocode margins need
+    shifted f0); the concat-cost scan runs over frames [scan_from, T) only —
+    the frames this chunk is responsible for — with its initial state either
+    the carried (previous chunk's last emitted selection, sticky concat
+    weight) when has_carry, or the reference's standard first-frame init
+    (chunk 0). Chaining chunks this way reproduces the reference's whole-
+    utterance serial pass (ref lib_ongaku_test.py:294-336): chunk N+1's
+    first frame sees chunk N's selection and the sticky `concat_weight = 0`
+    latch never resets at a boundary. Smoothness weights are re-solved per
+    window slice (the right context absorbs the optimizer's right-edge
+    effect; the left edge is the streaming approximation, bound-tested).
+
+    Returns (out (Ts, D), shifted (T,), harm (Ts, H) | None,
+    sel (Ts, 2, k) | (Ts, 1, k), weight_after (Ts,)) where Ts = T -
+    scan_from; the caller picks its carry at the last emitted frame."""
+    from knnsvc_tpu.match.concat_cost import (
+        concat_cost_pair_core, concat_cost_pair_stream_core,
+        concat_cost_stream_core)
+
+    nearest_nbrs, _ = knn_topk(q, matching, k=KNN_CANDIDATES, approx=approx)
+    shifted = shift_f0_to_target_register(qf0, pool_f0, qmed)
+
+    s = scan_from
+    target_idx = nearest_nbrs[:, :topk]
+    pitched_idx = None
+    if use_harmonics:
+        pitched_idx = sort_by_f0_compatibility(shifted, pool_f0, nearest_nbrs)[:, :topk]
+
+    gather = lambda idx: matching[idx]
+    P = matching.shape[0]
+    tgt_log_f0 = jnp.log2(pool_f0 + 1e-5)
+    k = topk
+
+    if concat_weight == -1.0:
+        # no concat reselection: selections are frame-local, nothing carries
+        sel_u = target_idx[s:]
+        sel_p = None if pitched_idx is None else pitched_idx[s:]
+        weights_after = jnp.full((q.shape[0] - s,), -1.0, jnp.float32)
+    elif use_harmonics:
+        if has_carry:
+            sel_u, sel_p, weights_after = concat_cost_pair_stream_core(
+                gather, target_idx[s:], pitched_idx[s:], q[s - 1], q[s:], P,
+                shifted[s:], tgt_log_f0, carry_idx, carry_weight,
+                concat_weight=concat_weight)
+        else:
+            # chunk 0: standard init — frame s passes through as its own
+            # top-k; later frames scan with the stream body (identical to
+            # concat_cost_pair_core, which shares the same body)
+            first = jnp.stack([target_idx[s], pitched_idx[s]])        # (2, k)
+            tail_u, tail_p, tail_w = concat_cost_pair_stream_core(
+                gather, target_idx[s + 1:], pitched_idx[s + 1:], q[s],
+                q[s + 1:], P, shifted[s + 1:], tgt_log_f0, first,
+                jnp.float32(concat_weight), concat_weight=concat_weight)
+            sel_u = jnp.concatenate([first[None, 0], tail_u])
+            sel_p = jnp.concatenate([first[None, 1], tail_p])
+            weights_after = jnp.concatenate(
+                [jnp.full((1,), concat_weight, jnp.float32), tail_w])
+    else:
+        if has_carry:
+            sel_u, weights_after = concat_cost_stream_core(
+                gather, target_idx[s:], q[s - 1], q[s:], P, carry_idx[0],
+                carry_weight, concat_weight=concat_weight)
+        else:
+            first = target_idx[s]
+            tail_u, tail_w = concat_cost_stream_core(
+                gather, target_idx[s + 1:], q[s], q[s + 1:], P, first,
+                jnp.float32(concat_weight), concat_weight=concat_weight)
+            sel_u = jnp.concatenate([first[None], tail_u])
+            weights_after = jnp.concatenate(
+                [jnp.full((1,), concat_weight, jnp.float32), tail_w])
+        sel_p = None
+
+    if opt_enabled:
+        w = optimize_smoothness_weights(sel_u, synth, scale=WAVLM_LOSS_SCALE)
+        out = jnp.sum(synth[sel_u] * w[..., None], axis=1)
+    else:
+        out = jnp.mean(synth[sel_u], axis=1)
+
+    harm = None
+    if use_harmonics:
+        if opt_enabled:
+            hw = optimize_smoothness_weights(sel_p, harmonics,
+                                             scale=HARMONICS_LOSS_SCALE)
+            harm = jnp.sum(harmonics[sel_p] * hw[..., None], axis=1)
+        else:
+            harm = jnp.mean(harmonics[sel_p], axis=1)
+
+    sel = (jnp.stack([sel_u, sel_p], axis=1) if sel_p is not None
+           else sel_u[:, None, :])                                # (Ts, L, k)
+    return out, shifted, harm, sel, weights_after
+
+
+def match_utterance_stream(
+    query_seq,
+    query_f0,
+    matching_list,
+    synth_list,
+    matching_f0,
+    harmonics_list,
+    ckpt_type: str,
+    post_opt: PostOpt,
+    scan_from: int,
+    carry: tuple | None,
+    topk: int = 4,
+    matcher: str = "approx",
+    query_f0_log_median: float | None = None,
+):
+    """One streaming window of the post_opt pipeline with cross-chunk concat
+    continuity. `carry` is (sel (L, k) int32, weight scalar) from the
+    previous chunk's last emitted frame (None for the first chunk);
+    `scan_from` is the window-local index of the first frame this chunk owns.
+
+    Returns (out (Ts, D), shifted (T,), harm (Ts, H) | None, new_carry_fn)
+    where new_carry_fn(emit_end) gives the carry at window-local frame
+    emit_end - 1 for the next chunk. All outputs stay on device."""
+    use_harm = uses_harmonics(ckpt_type)
+    q = jnp.asarray(query_seq)
+    qmed = jnp.float32(np.nan if query_f0_log_median is None
+                       else query_f0_log_median)
+    n_lanes = 2 if use_harm else 1
+    if carry is None:
+        carry_idx = jnp.zeros((2, topk), jnp.int32)   # ignored (has_carry=False)
+        carry_weight = jnp.float32(0.0)
+    else:
+        carry_idx, carry_weight = carry
+        if use_harm:
+            assert carry_idx.shape == (2, topk), carry_idx.shape
+        else:
+            carry_idx = carry_idx.reshape(n_lanes, topk)
+    out, shifted, harm, sel, weights_after = _match_core_post_opt_stream(
+        q, matching_list, synth_list, matching_f0,
+        harmonics_list if use_harm else synth_list[:, :1],
+        jnp.asarray(query_f0), qmed, carry_idx, carry_weight,
+        topk=topk, approx=(matcher == "approx"), use_harmonics=use_harm,
+        concat_weight=post_opt.concat_weight, opt_enabled=post_opt.enabled,
+        scan_from=scan_from, has_carry=carry is not None)
+
+    def carry_at(emit_end: int):
+        """Carry for the next chunk = state after window-local frame
+        emit_end - 1 (the last frame this chunk emitted)."""
+        pos = emit_end - 1 - scan_from
+        return sel[pos], weights_after[pos]
+
+    return out, shifted, (harm if use_harm else None), carry_at
+
+
 def _prepare_ref_pool(ref_pool: SpeakerPool, need_fp32_matching: bool,
                       need_harmonics: bool, need_quantized: bool,
                       mesh=None, quantize_sharded: bool = False) -> dict:
@@ -210,7 +367,8 @@ def match_utterances_batched(qs, qf0s, matching, synth, pool_f0, harmonics,
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         assert qs.shape[0] % mesh.shape["data"] == 0, (
-            f"batch {qs.shape[0]} must divide the data axis {mesh.shape['data']}")
+            f"mesh 'data' axis ({mesh.shape['data']}) must divide the "
+            f"batch ({qs.shape[0]})")
         qs = jax.device_put(qs, NamedSharding(mesh, P("data", None, None)))
         qf0s = jax.device_put(qf0s, NamedSharding(mesh, P("data", None)))
     out, shifted, harm = _match_core_batch(

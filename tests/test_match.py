@@ -315,3 +315,68 @@ def test_match_core_post_opt_equals_stepwise():
     np.testing.assert_allclose(np.asarray(out), np.asarray(exp_out), atol=1e-6)
     np.testing.assert_allclose(np.asarray(hm), np.asarray(exp_hm), atol=1e-6)
 
+
+
+def test_concat_stream_chaining_equals_whole_scan():
+    """Cross-chunk continuity invariant (streaming post_opt): running the
+    stream cores chunk-by-chunk, feeding each chunk's last-frame carry
+    (selections + sticky weight) into the next, is BIT-IDENTICAL to the
+    whole-sequence scan — the carry threads the reference's serial
+    semantics (incl. the sticky concat_weight=0 latch) across boundaries."""
+    from knnsvc_tpu.match.concat_cost import (
+        concat_cost_core, concat_cost_pair_core,
+        concat_cost_pair_stream_core, concat_cost_stream_core)
+
+    rng = np.random.default_rng(11)
+    T, k, P, D = 48, 4, 150, 24
+    src = rng.standard_normal((T, D)).astype(np.float32)
+    # smooth run so the pitched lane's sticky latch has low-baseline frames,
+    # and rough frames elsewhere so it FIRES before the first boundary
+    src[8:20] = src[8:9] + 0.03 * rng.standard_normal((12, D)).astype(np.float32)
+    tgt = rng.standard_normal((P, D)).astype(np.float32)
+    idx_u = rng.integers(0, P, size=(T, k)).astype(np.int32)
+    idx_p = rng.integers(0, P, size=(T, k)).astype(np.int32)
+    sf0 = np.zeros(T, np.float32)
+    sf0[4:40] = 150 + 100 * rng.random(36)
+    tf0 = np.zeros(P, np.float32)
+    tf0[::3] = 100 + 200 * rng.random((P + 2) // 3)
+
+    gather = lambda i: jnp.asarray(tgt)[i]
+    tgt_lf0 = jnp.log2(jnp.asarray(tf0) + 1e-5)
+
+    # ---- pair (lane-stacked) version ----
+    whole_u, whole_p = concat_cost_pair_core(
+        gather, jnp.asarray(idx_u), jnp.asarray(idx_p), jnp.asarray(src), P,
+        jnp.asarray(sf0), tgt_lf0, concat_weight=0.2)
+
+    got_u, got_p = [idx_u[:1]], [idx_p[:1]]
+    carry_idx = jnp.stack([jnp.asarray(idx_u[0]), jnp.asarray(idx_p[0])])
+    carry_w = jnp.float32(0.2)
+    for lo, hi in ((1, 17), (17, 33), (33, T)):  # uneven chunk boundaries
+        su, sp, wts = concat_cost_pair_stream_core(
+            gather, jnp.asarray(idx_u[lo:hi]), jnp.asarray(idx_p[lo:hi]),
+            jnp.asarray(src[lo - 1]), jnp.asarray(src[lo:hi]), P,
+            jnp.asarray(sf0[lo:hi]), tgt_lf0, carry_idx, carry_w,
+            concat_weight=0.2)
+        got_u.append(np.asarray(su))
+        got_p.append(np.asarray(sp))
+        carry_idx = jnp.stack([su[-1], sp[-1]])
+        carry_w = wts[-1]
+    np.testing.assert_array_equal(np.concatenate(got_u), np.asarray(whole_u))
+    np.testing.assert_array_equal(np.concatenate(got_p), np.asarray(whole_p))
+    # the latch must actually have fired mid-stream for the test to bite
+    assert float(carry_w) == 0.0
+
+    # ---- single-lane (unpitched) version ----
+    whole = concat_cost_core(gather, jnp.asarray(idx_u), jnp.asarray(src), P,
+                             concat_weight=0.2)
+    got = [idx_u[:1]]
+    carry = jnp.asarray(idx_u[0])
+    cw = jnp.float32(0.2)
+    for lo, hi in ((1, 20), (20, T)):
+        s, wts = concat_cost_stream_core(
+            gather, jnp.asarray(idx_u[lo:hi]), jnp.asarray(src[lo - 1]),
+            jnp.asarray(src[lo:hi]), P, carry, cw, concat_weight=0.2)
+        got.append(np.asarray(s))
+        carry, cw = s[-1], wts[-1]
+    np.testing.assert_array_equal(np.concatenate(got), np.asarray(whole))

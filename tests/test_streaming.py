@@ -121,6 +121,23 @@ def test_stream_chunked_full_context_matches_batch(svc_world, tmp_path):
     assert (dev == 0).mean() > 0.9
 
 
+def test_stream_zero_context_yields_complete_audio(svc_world):
+    """Regression (ADVICE r3): context_s=0 on a multi-chunk input used to
+    silently truncate after the first chunk — the conv frontend trims ~1
+    frame per window edge, so every mid-stream window encoded to fewer than
+    F center frames and the frame-count end-of-input check fired. Context is
+    now clamped to one hop for multi-chunk inputs and end-of-input comes
+    from the sample position."""
+    root, knn = svc_world
+    src, ref = str(root / "src_sing.wav"), str(root / "ref.wav")
+    chunks = list(knn.stream_convert_chunks(src, ref, chunk_s=0.25,
+                                            context_s=0.0))
+    assert len(chunks) >= 3
+    n_src = load_audio(src)[0].shape[-1]
+    total = sum(c.shape[-1] for c in chunks)
+    assert abs(total - n_src) <= 320 * 2
+
+
 def test_stream_small_context_structure(svc_world, tmp_path):
     root, knn = svc_world
     src, ref = str(root / "src_sing.wav"), str(root / "ref.wav")
@@ -165,6 +182,61 @@ def test_stream_single_chunk_post_opt_equals_fast_pair(svc_world, tmp_path):
                                             post_opt="post_opt_0.2"))
     assert len(chunks) == 1
     np.testing.assert_array_equal(chunks[0], batch)
+
+
+@pytest.mark.slow
+def test_stream_chunked_concat_matches_batch(svc_world, tmp_path):
+    """A genuinely CHUNKED stream through the concat-cost reselection
+    (post_opt='no_post_opt_0.2': CAT on, smoothness off) equals the batch
+    path up to the vocoder-margin bound: full context makes every window's
+    features identical to the batch encode, the unvoiced source keeps the
+    register anchor out of play, and the cross-chunk carry (previous
+    selections + sticky latch) makes the chunked concat scan BIT-IDENTICAL
+    to the whole-utterance scan (test_concat_stream_chaining... proves the
+    core property; this proves the hub threads it)."""
+    root, knn = svc_world
+    src, ref = str(root / "src_noise.wav"), str(root / "ref.wav")
+    batch_path = knn.convert_pair(src, ref, matcher="exact", fast=True,
+                                  post_opt="no_post_opt_0.2",
+                                  output_path=str(tmp_path / "batch.wav"))
+    batch = np.asarray(load_audio(batch_path)[0])[0]
+    chunks = list(knn.stream_convert_chunks(src, ref, chunk_s=0.5,
+                                            context_s=4.0, matcher="exact",
+                                            post_opt="no_post_opt_0.2"))
+    assert len(chunks) >= 3
+    streamed = np.concatenate(chunks)
+    assert streamed.shape == batch.shape
+    dev = np.abs(streamed - batch)
+    # selections identical -> only the vocoder margin deviates (same bound
+    # as the bucketed bulk vocoder: <=1e-4 + one int16 step)
+    assert dev.max() <= 2e-4, dev.max()
+    assert (dev == 0).mean() > 0.9
+
+
+@pytest.mark.slow
+def test_stream_chunked_post_opt_bounded_vs_batch(svc_world, tmp_path):
+    """Full post_opt_0.2 (CAT + smoothness) chunked stream vs the batch
+    path: selections are carried exactly, but the smoothness weights are
+    re-solved per window slice, so the outputs agree to a bound rather than
+    bit-exactly. The bound below is empirical with margin; a regression
+    (e.g. the carry breaking) blows it up by orders of magnitude."""
+    root, knn = svc_world
+    src, ref = str(root / "src_noise.wav"), str(root / "ref.wav")
+    batch_path = knn.convert_pair(src, ref, matcher="exact", fast=True,
+                                  post_opt="post_opt_0.2",
+                                  output_path=str(tmp_path / "batch.wav"))
+    batch = np.asarray(load_audio(batch_path)[0])[0]
+    chunks = list(knn.stream_convert_chunks(src, ref, chunk_s=0.5,
+                                            context_s=4.0, matcher="exact",
+                                            post_opt="post_opt_0.2"))
+    assert len(chunks) >= 3
+    streamed = np.concatenate(chunks)
+    assert streamed.shape == batch.shape
+    # relative L2 over the utterance (scale-free: the tiny random vocoder's
+    # output RMS is arbitrary)
+    rel = (np.linalg.norm(streamed - batch)
+           / max(np.linalg.norm(batch), 1e-12))
+    assert rel < 0.15, rel
 
 
 @pytest.mark.slow
