@@ -20,8 +20,16 @@ Random full-size weights (throughput is weight-independent). Three configs:
             by default after the headline JSON (set KNNSVC_BENCH_SKIP_PARITY=1
             to skip its minutes of compile)
 
-A per-stage wall-clock split (encode/f0/spec+harm/match/vocode) is printed
-to stderr via utils.profiling.StageTimer.
+Outage resilience (VERDICT r3: a 5h tunnel outage zeroed round 3's record):
+- the TPU reachability probe RETRIES across a window
+  (KNNSVC_BENCH_PROBE_BUDGET_S, default 600 s) instead of one-shot;
+- each config runs in its OWN subprocess with a hard timeout and one retry,
+  re-probing between configs — a mid-run blip costs one config, not the
+  whole record, and the headline JSON is emitted the moment `fast` lands.
+
+Per config, stderr carries a per-stage wall-clock split AND an MFU table
+(analytic matmul/conv FLOPs over measured stage time as %-of-peak — see
+utils/flops.py; peak via KNNSVC_TPU_PEAK_TFLOPS, default 197 = v5e bf16).
 
 Timing note: this box reaches the TPU through a slow network tunnel, so
 device completion is forced with small host transfers (block_until_ready
@@ -32,15 +40,21 @@ Prints ONE JSON line; vs_baseline is against the BASELINE.json 50x target.
 
 import json
 import os
+import subprocess
 import sys
 import time
-
-import numpy as np
 
 SR, HOP, SECONDS = 16000, 320, 30
 SAMPLE_DIR = "/root/reference/sample_content"
 SRC = f"{SAMPLE_DIR}/Danakil-voice_resampled_16000_cut.wav"
 REF = f"{SAMPLE_DIR}/Tiken_lead_07_resampled_16000_cut.wav"
+
+CONFIGS = {
+    # name: (precision, matcher, post_opt)
+    "fast": ("fastest", "approx", "no_post_opt"),
+    "post_opt": ("fastest", "approx", "post_opt_0.2"),
+    "parity": ("highest", "exact", "no_post_opt"),
+}
 
 
 def _prep_slices(tmp_dir: str) -> tuple[str, str]:
@@ -60,12 +74,13 @@ def _prep_slices(tmp_dir: str) -> tuple[str, str]:
 
 def run_config(name: str, precision: str, matcher: str, post_opt: str,
                src_path: str, ref_path: str):
+    import numpy as np
     import jax.numpy as jnp
     import jax
 
     from knnsvc_tpu.config import HiFiGANConfig, ModelFamily, PostOpt, WavLMConfig
     from knnsvc_tpu.match.pipeline import match_utterance
-    from knnsvc_tpu.match.pool import build_device_pool, load_utterance
+    from knnsvc_tpu.match.pool import build_device_pool, load_utterance, one_hot_layer
     from knnsvc_tpu.models.hifigan import init_generator_params
     from knnsvc_tpu.models.hifigan.generator import vocode
     from knnsvc_tpu.models.wavlm import init_wavlm_params
@@ -114,18 +129,50 @@ def run_config(name: str, precision: str, matcher: str, post_opt: str,
             # production (hub fast path) downloads int16 — half the bytes
             q = jnp.clip(jnp.round(wav * 32768.0), -32768, 32767).astype(jnp.int16)
             wav = np.asarray(q).astype(np.float32) / 32768.0
-        return wav
+        return wav, src, ref
 
     t0 = time.time()
-    wav = convert_once(StageTimer())
+    wav, _, _ = convert_once(StageTimer())
     print(f"# {name}: compiled+first-run in {time.time()-t0:.1f}s",
           file=sys.stderr, flush=True)
 
     # attribution pass: per-stage wall clock with device sync at stage exits
     timer = StageTimer()
-    convert_once(timer)
+    _, src_pool, ref_pool = convert_once(timer)
     print("# stage split (1 synchronized run):", file=sys.stderr)
     for line in timer.report().splitlines():
+        print(f"#   {line}", file=sys.stderr)
+
+    # ---- MFU accounting (VERDICT r3 #5): analytic matmul/conv FLOPs over
+    # the synchronized stage times as %-of-peak. Stage bundles are labeled
+    # by what the measured window actually contains.
+    from knnsvc_tpu.utils.flops import (conv_frontend_flops, format_mfu_table,
+                                        hifigan_flops, match_flops,
+                                        wavlm_encoder_flops)
+
+    n_layers = one_hot_layer(weights)
+    t_src = int(src_pool.matching.shape[0])
+    t_ref = int(ref_pool.matching.shape[0])
+    enc_flops = 0
+    for t_frames in (t_src, t_ref):
+        cf, _ = conv_frontend_flops(wavlm_cfg.conv_feature_layers,
+                                    SECONDS * SR)
+        enc_flops += cf + wavlm_encoder_flops(
+            wavlm_cfg.encoder_embed_dim, wavlm_cfg.encoder_ffn_embed_dim,
+            n_layers, t_frames, wavlm_cfg.conv_pos, wavlm_cfg.conv_pos_groups)
+    m_flops = match_flops(t_src, t_ref, src_pool.matching.shape[1],
+                          concat=popt.concat_weight != -1.0)
+    v_flops = hifigan_flops(h, t_src, family="mix")
+    peak = float(os.environ.get("KNNSVC_TPU_PEAK_TFLOPS", "197"))
+    rows = [
+        ("encode+f0 (x2)", enc_flops, timer.totals["pool_build"]),
+        ("match", m_flops, timer.totals["match"]),
+        ("vocode+download", v_flops, timer.totals["vocode+download"]),
+    ]
+    print(f"# MFU vs {peak:.0f} TFLOP/s peak (bf16; fp32-HIGHEST configs run"
+          f" multi-pass, so their true ceiling is ~6x lower):",
+          file=sys.stderr)
+    for line in format_mfu_table(rows, peak).splitlines():
         print(f"#   {line}", file=sys.stderr)
 
     # headline pass: NO intermediate syncs — device work is dispatched
@@ -135,7 +182,7 @@ def run_config(name: str, precision: str, matcher: str, post_opt: str,
     times = []
     for _ in range(12):  # min-of-12: the shared tunnel/chip shows ~40% swings
         t0 = time.time()
-        wav = convert_once(StageTimer(sync=False))
+        wav, _, _ = convert_once(StageTimer(sync=False))
         times.append(time.time() - t0)
     audio_sec = wav.shape[-1] / SR
     rtf = audio_sec / min(times)
@@ -151,13 +198,24 @@ def run_config(name: str, precision: str, matcher: str, post_opt: str,
     return rtf
 
 
-def _probe_device(timeout_s: float = 180.0) -> str | None:
-    """Bounded TPU reachability check. jax.devices() through a dead axon
-    tunnel hangs indefinitely (observed: multi-hour outages) and would hang
-    the whole driver-run benchmark with it — probe in a subprocess with a
-    timeout and return the error string instead."""
-    import subprocess
+def _child_main(name: str) -> int:
+    """Run ONE config end to end and print 'RESULT {json}' on stdout."""
+    import tempfile
 
+    precision, matcher, post_opt = CONFIGS[name]
+    with tempfile.TemporaryDirectory() as td:
+        src_path, ref_path = _prep_slices(td)
+        rtf = run_config(name, precision, matcher, post_opt,
+                         src_path, ref_path)
+    print(f"RESULT {json.dumps({'config': name, 'rtf': round(rtf, 1)})}",
+          flush=True)
+    return 0
+
+
+def _probe_once(timeout_s: float) -> str | None:
+    """Bounded TPU reachability check. jax.devices() through a dead axon
+    tunnel hangs indefinitely (observed: multi-hour outages) — probe in a
+    subprocess with a timeout and return the error string instead."""
     try:
         r = subprocess.run(
             [sys.executable, "-c", "import jax; print(jax.devices()[0])"],
@@ -169,10 +227,55 @@ def _probe_device(timeout_s: float = 180.0) -> str | None:
     return None
 
 
-def main() -> int:
-    import tempfile
+def _probe_with_retries(budget_s: float, probe_timeout_s: float = 120.0,
+                        retry_sleep_s: float = 20.0) -> str | None:
+    """Probe repeatedly until success or the budget runs out — a transient
+    tunnel blip must not zero a whole round's record (VERDICT r3 #1)."""
+    deadline = time.time() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        left = deadline - time.time()
+        if left <= 0:
+            return (f"device unreachable after {attempt - 1} probes over "
+                    f"{budget_s:.0f}s (tunnel down)")
+        err = _probe_once(min(probe_timeout_s, max(left, 10.0)))
+        if err is None:
+            return None
+        print(f"# probe {attempt}: {err} — "
+              f"{max(deadline - time.time(), 0):.0f}s of budget left",
+              file=sys.stderr, flush=True)
+        if time.time() + retry_sleep_s >= deadline:
+            return (f"device unreachable after {attempt} probes over "
+                    f"{budget_s:.0f}s (tunnel down)")
+        time.sleep(retry_sleep_s)
 
-    err = _probe_device()
+
+def _run_config_subprocess(name: str, timeout_s: float) -> float | None:
+    """Run one config in a child process (stderr passes through); returns
+    the RTF or None. A hung/dead child costs this config only."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--config", name]
+    try:
+        r = subprocess.run(cmd, stdout=subprocess.PIPE, text=True,
+                           timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print(f"# config {name}: killed after {timeout_s:.0f}s",
+              file=sys.stderr, flush=True)
+        return None
+    for line in (r.stdout or "").splitlines():
+        if line.startswith("RESULT "):
+            return float(json.loads(line[len("RESULT "):])["rtf"])
+    print(f"# config {name}: exited {r.returncode} without a RESULT line",
+          file=sys.stderr, flush=True)
+    return None
+
+
+def main() -> int:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--config":
+        return _child_main(sys.argv[2])
+
+    budget = float(os.environ.get("KNNSVC_BENCH_PROBE_BUDGET_S", "600"))
+    err = _probe_with_retries(budget)
     if err is not None:
         # one honest JSON line the driver can record + diagnose, instead of
         # an indefinite hang with no BENCH output at all
@@ -186,36 +289,47 @@ def main() -> int:
         print(f"# {err}", file=sys.stderr, flush=True)
         return 1
 
-    import jax
+    config_timeout = float(os.environ.get("KNNSVC_BENCH_CONFIG_TIMEOUT_S",
+                                          "1500"))
+    names = ["fast", "post_opt"]
+    if os.environ.get("KNNSVC_BENCH_SKIP_PARITY") != "1":
+        # parity is the config the <=1e-3 waveform claim stands on: measure
+        # it every run (the env var opts out for quick iterations)
+        names.append("parity")
 
-    with tempfile.TemporaryDirectory() as td:
-        src_path, ref_path = _prep_slices(td)
-
-        fast_rtf = run_config("fast", "fastest", "approx", "no_post_opt",
-                              src_path, ref_path)
-        # emit the headline immediately — later configs are informational and
-        # add minutes of compile the driver may not wait for
-        print(json.dumps({
-            "metric": "end_to_end_conversion_rtf",
-            "value": round(fast_rtf, 1),
-            "unit": "audio_sec/sec/chip",
-            "vs_baseline": round(fast_rtf / 50.0, 3),
-        }), flush=True)
-        print(f"# device={jax.devices()[0]}", file=sys.stderr, flush=True)
-
-        popt_rtf = run_config("post_opt", "fastest", "approx", "post_opt_0.2",
-                              src_path, ref_path)
-        print(f"# post_opt_0.2 mix RTF: {popt_rtf:.1f}x RT (target >=50x)",
-              file=sys.stderr, flush=True)
-
-        # parity is the config the <=1e-3 waveform claim stands on: measure it
-        # every run (KNNSVC_BENCH_SKIP_PARITY=1 opts out for quick iterations)
-        if os.environ.get("KNNSVC_BENCH_SKIP_PARITY") != "1":
-            parity_rtf = run_config("parity", "highest", "exact", "no_post_opt",
-                                    src_path, ref_path)
-            print(f"# parity path RTF: {parity_rtf:.1f}x RT (target >=50x)",
+    results: dict[str, float] = {}
+    for i, name in enumerate(names):
+        if i > 0:
+            # re-probe between configs: a mid-run outage salvages the
+            # configs already measured instead of hanging the rest
+            err = _probe_with_retries(min(budget, 240.0))
+            if err is not None:
+                print(f"# stopping after {list(results)}: {err}",
+                      file=sys.stderr, flush=True)
+                break
+        rtf = _run_config_subprocess(name, config_timeout)
+        if rtf is None and _probe_with_retries(min(budget, 240.0)) is None:
+            rtf = _run_config_subprocess(name, config_timeout)  # one retry
+        if rtf is not None:
+            results[name] = rtf
+        if name == "fast":
+            # emit the headline immediately — later configs are
+            # informational and add minutes of compile the driver may not
+            # wait for
+            payload = {
+                "metric": "end_to_end_conversion_rtf",
+                "value": results.get("fast", 0.0),
+                "unit": "audio_sec/sec/chip",
+                "vs_baseline": round(results.get("fast", 0.0) / 50.0, 3),
+            }
+            if "fast" not in results:
+                payload["error"] = "fast config failed twice with the device reachable"
+            print(json.dumps(payload), flush=True)
+    for name in ("post_opt", "parity"):
+        if name in results:
+            print(f"# {name} RTF: {results[name]:.1f}x RT (target >=50x)",
                   file=sys.stderr, flush=True)
-    return 0
+    return 0 if "fast" in results else 1
 
 
 if __name__ == "__main__":

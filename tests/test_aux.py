@@ -206,3 +206,51 @@ def test_vocode_guards_for_missing_inputs():
     knn_f0 = KnnSvc(None, WavLMConfig(), None, HiFiGANConfig(), ckpt_type="wavlm_only")
     with pytest.raises(ValueError, match="f0"):
         knn_f0.vocode(np.zeros((5, 1024), np.float32))
+
+
+def test_analytic_flops_match_xla_cost_analysis():
+    """The MFU accounting's analytic counters (utils/flops.py) must track
+    XLA's own post-optimization flop estimate: conv/matmul terms dominate
+    both models, so the analytic count (matmul/conv only) should land within
+    [0.5, 1.1] of cost_analysis() on a small config."""
+    from knnsvc_tpu.config import HiFiGANConfig, ModelFamily, WavLMConfig
+    from knnsvc_tpu.models.hifigan import init_generator_params
+    from knnsvc_tpu.models.hifigan.generator import vocode
+    from knnsvc_tpu.models.wavlm import init_wavlm_params, wavlm_extract_layer
+    from knnsvc_tpu.utils.flops import (conv_frontend_flops, hifigan_flops,
+                                        wavlm_encoder_flops)
+
+    h = HiFiGANConfig.from_dict(dict(
+        upsample_rates=(10, 8, 2, 2), upsample_kernel_sizes=(20, 16, 4, 4),
+        upsample_initial_channel=64, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3, 5),), n_harmonic=4, hubert_dim=64,
+        hifi_dim=32))
+    T = 40
+    gen = init_generator_params(jax.random.PRNGKey(0), h, ModelFamily.MIX)
+    feats = jnp.zeros((1, T, h.hubert_dim))
+    f0 = jnp.full((1, T, 1), 150.0)
+    harm = jnp.full((1, T, 49), 0.1)
+    lowered = jax.jit(
+        lambda f, p, hm: vocode(gen, h, ModelFamily.MIX, f, p, hm)
+    ).lower(feats, f0, harm)
+    xla_flops = lowered.compile().cost_analysis()["flops"]
+    ours = hifigan_flops(h, T, family="mix")
+    assert 0.5 * xla_flops <= ours <= 1.1 * xla_flops, (ours, xla_flops)
+
+    cfg = WavLMConfig.from_dict(dict(
+        extractor_mode="group_norm", encoder_layers=3, encoder_embed_dim=64,
+        encoder_ffn_embed_dim=96, encoder_attention_heads=4,
+        conv_feature_layers="[(64, 10, 5), (64, 8, 4), (64, 4, 4), (64, 4, 4)]",
+        conv_pos=16, conv_pos_groups=4, relative_position_embedding=True,
+        num_buckets=32, max_distance=64, gru_rel_pos=True))
+    params = init_wavlm_params(jax.random.PRNGKey(1), cfg)
+    n_samples = 16000
+    wav = jnp.zeros((1, n_samples))
+    lowered = jax.jit(
+        lambda w: wavlm_extract_layer(params, cfg, w, 3)).lower(wav)
+    xla_flops = lowered.compile().cost_analysis()["flops"]
+    cf, t_frames = conv_frontend_flops(cfg.conv_feature_layers, n_samples)
+    ours = cf + wavlm_encoder_flops(
+        cfg.encoder_embed_dim, cfg.encoder_ffn_embed_dim, 3, t_frames,
+        cfg.conv_pos, cfg.conv_pos_groups)
+    assert 0.5 * xla_flops <= ours <= 1.1 * xla_flops, (ours, xla_flops)
