@@ -90,9 +90,15 @@ def main(argv=None) -> int:
 
     # pure-argument validation BEFORE the (minutes-long, tunneled) model load
     if args.stream_chunk_s is not None:
-        if args.matcher not in ("exact", "approx"):
+        # same surface the hub streams through (test_streaming covers all 4)
+        if args.matcher not in ("exact", "approx", "sharded", "sharded_int8"):
             raise SystemExit(f"--stream_chunk_s supports --matcher "
-                             f"exact|approx, not {args.matcher!r}")
+                             f"exact|approx|sharded|sharded_int8, "
+                             f"not {args.matcher!r}")
+        if args.matcher == "sharded_int8" and args.post_opt != "no_post_opt":
+            raise SystemExit("--matcher sharded_int8 streams no_post_opt "
+                             "configs only (concat/smoothness read fp32 "
+                             "matching rows; use --matcher sharded)")
         if os.path.isdir(args.src) or os.path.isdir(args.tgt):
             raise SystemExit("--stream_chunk_s applies to pair (file-file) "
                              "mode only; bulk mode converts whole utterances")

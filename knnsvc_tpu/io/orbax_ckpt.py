@@ -35,11 +35,22 @@ def restore_train_state(directory: str, template: Any,
         step = mngr.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no orbax checkpoints under {directory}")
+        # choose the layout from the checkpoint's own structure rather than
+        # retrying on broad exception types: a genuine template/shape
+        # mismatch on a new-layout checkpoint must surface as itself, not as
+        # an unrelated secondary error from a bare-state retry (ADVICE r3)
         try:
+            meta = mngr.item_metadata(step)
+            tree = getattr(meta, "item_metadata", meta)
+            has_epoch = isinstance(tree, dict) and "epoch" in tree \
+                and "state" in tree
+        except Exception:
+            # metadata unreadable (very old orbax layouts) — assume current
+            has_epoch = True
+        if has_epoch:
             payload = mngr.restore(step, args=ocp.args.StandardRestore(
                 {"state": template, "epoch": 0}))
             return payload["state"], step, int(payload["epoch"])
-        except (ValueError, KeyError, TypeError):
-            # legacy layout (pre-epoch): the checkpoint IS the bare state
-            state = mngr.restore(step, args=ocp.args.StandardRestore(template))
-            return state, step, 0
+        # legacy layout (pre-epoch): the checkpoint IS the bare state
+        state = mngr.restore(step, args=ocp.args.StandardRestore(template))
+        return state, step, 0

@@ -128,7 +128,14 @@ def sharded_match_core(
     p_pad = matching_sh.shape[0]
     shard_len = p_pad // n_shards
     k_local = min(k, shard_len)   # tiny shards contribute fewer candidates
-    assert n_shards * k_local >= k, (n_shards, shard_len, k)
+    if n_shards * k_local < k:
+        raise ValueError(
+            f"reference pool too small to shard: {n_shards} shards x "
+            f"{shard_len} rows/shard yield {n_shards * k_local} candidates "
+            f"< k={k}. The sharded matchers need >= "
+            f"{-(-k // n_shards)} pool rows per shard "
+            f"(~{-(-k // n_shards) * n_shards} frames total); use the dense "
+            f"matcher ('exact'/'approx') for pools this small.")
     true_len = jnp.asarray(true_len, dtype=jnp.int32)
 
     @functools.partial(
@@ -239,7 +246,11 @@ def sharded_match_core_int8(
     p_pad = matching_q8.shape[0]
     shard_len = p_pad // n_shards
     k_local = min(k, shard_len)
-    assert n_shards * k_local >= k, (n_shards, shard_len, k)
+    if n_shards * k_local < k:
+        raise ValueError(
+            f"reference pool too small to shard: {n_shards} shards x "
+            f"{shard_len} rows/shard yield {n_shards * k_local} candidates "
+            f"< k={k}; use the dense matcher for pools this small.")
     true_len = jnp.asarray(true_len, dtype=jnp.int32)
 
     # device-side row-wise query quantization (scales cancel in the cosine)
