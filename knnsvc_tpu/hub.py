@@ -852,17 +852,31 @@ class KnnSvc:
         `_bulk_convert_fast` per utterance (same padding, same bucketing,
         same int16 download); the reference converts strictly one utterance
         at a time (ref ddsp_matcher.py:1106 — no multi-device analogue)."""
-        from knnsvc_tpu.match.pipeline import match_utterances_batched, subset_key
+        from knnsvc_tpu.match.pipeline import (_default_pool_mesh,
+                                               match_utterances_batched,
+                                               subset_key)
         from knnsvc_tpu.match.pool import list_speaker_utterances
 
-        if matcher not in ("exact", "approx"):
+        if matcher not in ("exact", "approx", "sharded", "sharded_int8"):
             raise ValueError(
                 "data-axis bulk serving supports matcher 'exact'/'approx' "
-                f"(pool replicated, batch sharded), not {matcher!r}")
+                "(pool replicated, batch sharded) and 'sharded'/"
+                f"'sharded_int8' (2-D batch x pool sharding), not {matcher!r}")
         # same contract the serial paths enforce (ref live path always
         # f0-prioritizes); the batched core has no non-prioritized variant
         assert prioritize_f0, "prioritize_f0 is mandatory on the reference live path"
         popt = PostOpt.parse(post_opt)
+        pool_mesh = None
+        if matcher in ("sharded", "sharded_int8"):
+            # the 2-D composition (both scaling axes in one dispatch):
+            # batch sharded on 'data', the target pool on 'pool'
+            pool_mesh = mesh if mesh is not None and "pool" in mesh.shape \
+                else _default_pool_mesh()
+            if data_batch % pool_mesh.shape["data"] != 0:
+                raise ValueError(
+                    f"data_batch={data_batch} must be a multiple of the "
+                    f"mesh 'data' axis ({pool_mesh.shape['data']})")
+            mesh = pool_mesh
         replicate = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -901,6 +915,12 @@ class KnnSvc:
             # contiguous run of chunks, so one pool is live at a time
             pool = self._device_pool_for_files(
                 list_speaker_utterances(tgt_spk), duration_limit)
+            if pool_mesh is not None:
+                from knnsvc_tpu.parallel.sharded_match import shard_speaker_pool
+
+                return shard_speaker_pool(
+                    pool.matching, pool.synth, pool.f0, pool.harmonics,
+                    pool_mesh, quantize_matching=matcher == "sharded_int8")
             if replicate is not None:
                 from knnsvc_tpu.match.pool import DevicePool
 
@@ -940,11 +960,17 @@ class KnnSvc:
                         m, f0, _ = self._bucket_pad_query(*queries.get(job[0]))
                         qs.append(m)
                         qf0s.append(f0)
-                    out_b, f0_b, harm_b = match_utterances_batched(
-                        np.stack(qs), np.stack(qf0s), ref.matching,
-                        ref.synth, ref.f0, ref.harmonics,
-                        ckpt_type=self.ckpt_type, post_opt=popt, topk=topk,
-                        matcher=matcher, mesh=mesh)
+                    if pool_mesh is not None:
+                        out_b, f0_b, harm_b = match_utterances_batched(
+                            np.stack(qs), np.stack(qf0s), None, None, None,
+                            None, ckpt_type=self.ckpt_type, post_opt=popt,
+                            topk=topk, matcher=matcher, sharded=ref)
+                    else:
+                        out_b, f0_b, harm_b = match_utterances_batched(
+                            np.stack(qs), np.stack(qf0s), ref.matching,
+                            ref.synth, ref.f0, ref.harmonics,
+                            ckpt_type=self.ckpt_type, post_opt=popt,
+                            topk=topk, matcher=matcher, mesh=mesh)
                     wav_b = hifigan_vocode(
                         hifigan_params, self.h, self.family, out_b,
                         f0_b[..., None],
@@ -1017,12 +1043,11 @@ class KnnSvc:
                 required = [row[2] for i, row in enumerate(reader) if i != 0 and row[-1] == "0"]
 
         if fast:
-            # data-axis auto-routing only applies to the matchers the batched
-            # core supports: a pool-sharded request on a mesh that also has a
-            # data axis must still run the serial sharded loop, not error
-            if data_batch is None and matcher in ("exact", "approx") \
-                    and mesh is not None and "data" in mesh.shape \
-                    and mesh.shape["data"] > 1:
+            # data-axis auto-routing: a mesh with a non-trivial 'data' axis
+            # means the caller wants batch fan-out — including composed with
+            # the pool-sharded matchers (2-D batch x pool serving)
+            if data_batch is None and mesh is not None \
+                    and "data" in mesh.shape and mesh.shape["data"] > 1:
                 data_batch = mesh.shape["data"]
             if data_batch is not None and data_batch > 1:
                 # validate divisibility up front: match_utterances_batched
@@ -1034,14 +1059,20 @@ class KnnSvc:
                         f"data_batch={data_batch} must be a multiple of the "
                         f"mesh 'data' axis ({mesh.shape['data']}) so each "
                         f"dispatch shards evenly across chips")
+                # the sharded matchers need the full (2-D) mesh for the pool
+                # axis; the dense ones only use a mesh for batch sharding
+                if matcher in ("sharded", "sharded_int8"):
+                    batched_mesh = mesh
+                else:
+                    batched_mesh = mesh if mesh is not None \
+                        and "data" in mesh.shape and mesh.shape["data"] > 1 \
+                        else None
                 return self._bulk_convert_fast_batched(
                     src_spks, tgt_spks, src_dataset_path == tgt_dataset_path,
                     converted_audio_dir, topk, prioritize_f0, post_opt,
                     set(required) if required is not None else None,
                     duration_limit, tgt_loudness_db, resume, matcher,
-                    data_batch,
-                    mesh if mesh is not None and "data" in mesh.shape
-                    and mesh.shape["data"] > 1 else None)
+                    data_batch, batched_mesh)
             return self._bulk_convert_fast(
                 src_spks, tgt_spks, src_dataset_path == tgt_dataset_path,
                 converted_audio_dir, topk, prioritize_f0, post_opt,

@@ -350,19 +350,60 @@ def _match_core_batch(qs, qf0s, matching, synth, pool_f0, harmonics,
 
 def match_utterances_batched(qs, qf0s, matching, synth, pool_f0, harmonics,
                              ckpt_type: str, post_opt: PostOpt, topk: int = 4,
-                             matcher: str = "approx", mesh=None):
+                             matcher: str = "approx", mesh=None,
+                             sharded=None):
     """Batch of equal-length queries (B, Tb, D) + (B, Tb) f0 against one
     prepared target pool -> (out (B, Tb, D), shifted_f0 (B, Tb),
     harmonics (B, Tb, 49) | None), all still on device.
 
-    mesh: when given (with a 'data' axis), the batch axis is sharded across
-    it — B/n_data utterances per chip, pool replicated; an n-chip mesh
-    converts ~n x the utterances per dispatch. The reference converts
-    strictly one utterance at a time on one GPU (ref ddsp_matcher.py:1106);
-    this is the framework's data-axis serving fan-out (no ref analogue)."""
+    mesh (dense matchers): when given (with a 'data' axis), the batch axis
+    is sharded across it — B/n_data utterances per chip, pool replicated; an
+    n-chip mesh converts ~n x the utterances per dispatch. The reference
+    converts strictly one utterance at a time on one GPU (ref
+    ddsp_matcher.py:1106); this is the framework's data-axis serving fan-out
+    (no ref analogue).
+
+    matcher='sharded'/'sharded_int8' (pass `sharded`, a ShardedPool built on
+    a 2-D Mesh('data','pool')): the two scaling axes composed — the batch
+    sharded over 'data' AND the pool over 'pool', B/n_data utterances and
+    P/n_pool (or P/(4*n_pool) int8) pool rows per device in one dispatch."""
     use_harm = uses_harmonics(ckpt_type)
     qs = jnp.asarray(qs)
     qf0s = jnp.asarray(qf0s)
+    if matcher in ("sharded", "sharded_int8"):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from knnsvc_tpu.parallel.sharded_match import (
+            sharded_match_core_batch, sharded_match_core_int8_batch)
+
+        assert sharded is not None, f"matcher={matcher!r} needs a ShardedPool"
+        smesh = sharded.mesh
+        assert "data" in smesh.shape, (
+            "batched sharded serving needs a 2-D Mesh('data','pool'); use "
+            "parallel.mesh.make_mesh(n_data, n_pool)")
+        if qs.shape[0] % smesh.shape["data"] != 0:
+            raise ValueError(f"mesh 'data' axis ({smesh.shape['data']}) must "
+                             f"divide the batch ({qs.shape[0]})")
+        qs = jax.device_put(qs, NamedSharding(smesh, P("data", None, None)))
+        qf0s = jax.device_put(qf0s, NamedSharding(smesh, P("data", None)))
+        if sharded.matching_q8 is not None:
+            assert not post_opt.enabled and post_opt.concat_weight == -1.0, (
+                "sharded_int8 serves no_post_opt configs only")
+            out, shifted, harm = sharded_match_core_int8_batch(
+                qs, qf0s, sharded.matching_q8, sharded.inv_norms,
+                sharded.synth,
+                sharded.harmonics if use_harm else sharded.synth,
+                sharded.f0, sharded.true_len, mesh=smesh, topk=topk,
+                use_harmonics=use_harm)
+        else:
+            out, shifted, harm = sharded_match_core_batch(
+                qs, qf0s, sharded.matching, sharded.synth,
+                sharded.harmonics if use_harm else sharded.synth,
+                sharded.f0, sharded.true_len, mesh=smesh, topk=topk,
+                use_harmonics=use_harm,
+                concat_weight=post_opt.concat_weight,
+                opt_enabled=post_opt.enabled)
+        return out, shifted, (harm if use_harm else None)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 

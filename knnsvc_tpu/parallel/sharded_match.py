@@ -98,68 +98,25 @@ def shard_speaker_pool(matching, synth, f0, harmonics, mesh: Mesh,
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("mesh", "topk", "k", "use_harmonics", "concat_weight",
-                     "opt_enabled", "max_opt_steps"),
-)
-def sharded_match_core(
-    q: jax.Array,               # (T, D) query features, replicated
-    qf0: jax.Array,             # (T,) query f0, replicated
-    matching_sh: jax.Array,     # (P_pad, D) sharded on 'pool'
-    synth_sh: jax.Array,        # (P_pad, D) sharded on 'pool'
-    harm_sh: jax.Array,         # (P_pad, H) sharded (pass synth_sh when unused)
-    pool_f0: jax.Array,         # (P,) replicated, unpadded
-    true_len,                   # unpadded pool length (traced scalar ok)
-    qmed,                       # scalar register anchor (NaN = query median)
-    *,
-    mesh: Mesh,
-    topk: int,
-    use_harmonics: bool,
-    concat_weight: float,       # -1.0 = concat reselection off
-    opt_enabled: bool,
-    k: int = 32,
-    max_opt_steps: int = 100_000,
-):
-    """Returns (out_feats (T, D), shifted_f0 (T,), harmonics (T, H) | None) —
-    the same selection semantics as the dense `_match_core`/
-    `_match_core_post_opt` (pipeline.py), pool sharded, one dispatch."""
-    n_shards = mesh.shape["pool"]
-    p_pad = matching_sh.shape[0]
-    shard_len = p_pad // n_shards
-    k_local = min(k, shard_len)   # tiny shards contribute fewer candidates
-    if n_shards * k_local < k:
-        raise ValueError(
-            f"reference pool too small to shard: {n_shards} shards x "
-            f"{shard_len} rows/shard yield {n_shards * k_local} candidates "
-            f"< k={k}. The sharded matchers need >= "
-            f"{-(-k // n_shards)} pool rows per shard "
-            f"(~{-(-k // n_shards) * n_shards} frames total); use the dense "
-            f"matcher ('exact'/'approx') for pools this small.")
-    true_len = jnp.asarray(true_len, dtype=jnp.int32)
+def _make_one_fp32(pool_l, synth_l, harm_l, f0_full, tlen, shard_len,
+                   k, k_local, topk, use_harmonics, concat_weight,
+                   opt_enabled, max_opt_steps):
+    """Per-utterance fused sharded-match body — the SAME function serves the
+    single-utterance core and the batched core (which vmaps it over the local
+    batch), so the two cannot drift apart. Must be constructed INSIDE a
+    shard_map over a 'pool' mesh axis."""
+    shard_id = jax.lax.axis_index("pool")
+    offset = shard_id * shard_len
 
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(), P(), P("pool", None), P("pool", None), P("pool", None),
-                  P(), P(), P()),
-        out_specs=(P(), P(), P()),
-        # every shard computes identical replicated results past the merge;
-        # the static varying-axes check cannot prove that
-        check_vma=False,
-    )
-    def run(q, qf0, pool_l, synth_l, harm_l, f0_full, tlen, qmed):
-        shard_id = jax.lax.axis_index("pool")
-        offset = shard_id * shard_len
+    def gather(local, idx):
+        """Rows of a sharded pool at global ids: masked local gather +
+        psum — only the requested rows cross ICI."""
+        li = jnp.clip(idx - offset, 0, shard_len - 1)
+        rows = local[li]
+        mask = (idx >= offset) & (idx < offset + shard_len)
+        return jax.lax.psum(jnp.where(mask[..., None], rows, 0), "pool")
 
-        def gather(local, idx):
-            """Rows of a sharded pool at global ids: masked local gather +
-            psum — only the requested rows cross ICI."""
-            li = jnp.clip(idx - offset, 0, shard_len - 1)
-            rows = local[li]
-            mask = (idx >= offset) & (idx < offset + shard_len)
-            return jax.lax.psum(jnp.where(mask[..., None], rows, 0), "pool")
-
+    def one(q, qf0, qmed):
         # ---- distributed kNN: local distances + top-k, all_gather merge ----
         dists = cosine_distance(q, pool_l)                       # (T, shard_len)
         local_ids = jnp.arange(shard_len) + offset
@@ -210,8 +167,133 @@ def sharded_match_core(
             harm = jnp.zeros((q.shape[0], 1), dtype=q.dtype)
         return out, shifted, harm
 
+    return one
+
+
+def _check_shardable(n_shards: int, shard_len: int, k: int) -> int:
+    k_local = min(k, shard_len)   # tiny shards contribute fewer candidates
+    if n_shards * k_local < k:
+        raise ValueError(
+            f"reference pool too small to shard: {n_shards} shards x "
+            f"{shard_len} rows/shard yield {n_shards * k_local} candidates "
+            f"< k={k}. The sharded matchers need >= "
+            f"{-(-k // n_shards)} pool rows per shard "
+            f"(~{-(-k // n_shards) * n_shards} frames total); use the dense "
+            f"matcher ('exact'/'approx') for pools this small.")
+    return k_local
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "topk", "k", "use_harmonics", "concat_weight",
+                     "opt_enabled", "max_opt_steps"),
+)
+def sharded_match_core(
+    q: jax.Array,               # (T, D) query features, replicated
+    qf0: jax.Array,             # (T,) query f0, replicated
+    matching_sh: jax.Array,     # (P_pad, D) sharded on 'pool'
+    synth_sh: jax.Array,        # (P_pad, D) sharded on 'pool'
+    harm_sh: jax.Array,         # (P_pad, H) sharded (pass synth_sh when unused)
+    pool_f0: jax.Array,         # (P,) replicated, unpadded
+    true_len,                   # unpadded pool length (traced scalar ok)
+    qmed,                       # scalar register anchor (NaN = query median)
+    *,
+    mesh: Mesh,
+    topk: int,
+    use_harmonics: bool,
+    concat_weight: float,       # -1.0 = concat reselection off
+    opt_enabled: bool,
+    k: int = 32,
+    max_opt_steps: int = 100_000,
+):
+    """Returns (out_feats (T, D), shifted_f0 (T,), harmonics (T, H) | None) —
+    the same selection semantics as the dense `_match_core`/
+    `_match_core_post_opt` (pipeline.py), pool sharded, one dispatch."""
+    n_shards = mesh.shape["pool"]
+    p_pad = matching_sh.shape[0]
+    shard_len = p_pad // n_shards
+    k_local = _check_shardable(n_shards, shard_len, k)
+    true_len = jnp.asarray(true_len, dtype=jnp.int32)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P("pool", None), P("pool", None), P("pool", None),
+                  P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        # every shard computes identical replicated results past the merge;
+        # the static varying-axes check cannot prove that
+        check_vma=False,
+    )
+    def run(q, qf0, pool_l, synth_l, harm_l, f0_full, tlen, qmed):
+        one = _make_one_fp32(pool_l, synth_l, harm_l, f0_full, tlen,
+                             shard_len, k, k_local, topk, use_harmonics,
+                             concat_weight, opt_enabled, max_opt_steps)
+        return one(q, qf0, qmed)
+
     out, shifted, harm = run(q, qf0, matching_sh, synth_sh, harm_sh,
                              pool_f0, true_len, qmed)
+    return out, shifted, (harm if use_harmonics else None)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "topk", "k", "use_harmonics", "concat_weight",
+                     "opt_enabled", "max_opt_steps"),
+)
+def sharded_match_core_batch(
+    qs: jax.Array,              # (B, T, D) query batch, sharded on 'data'
+    qf0s: jax.Array,            # (B, T) query f0 batch, sharded on 'data'
+    matching_sh: jax.Array,     # (P_pad, D) sharded on 'pool'
+    synth_sh: jax.Array,        # (P_pad, D) sharded on 'pool'
+    harm_sh: jax.Array,         # (P_pad, H) sharded (pass synth_sh when unused)
+    pool_f0: jax.Array,         # (P,) replicated, unpadded
+    true_len,
+    *,
+    mesh: Mesh,
+    topk: int,
+    use_harmonics: bool,
+    concat_weight: float,
+    opt_enabled: bool,
+    k: int = 32,
+    max_opt_steps: int = 100_000,
+):
+    """The two scaling axes COMPOSED (VERDICT r3 #4): a batch of utterances
+    sharded over the mesh 'data' axis, each matched against ONE target pool
+    sharded over the 'pool' axis — B/n_data utterances AND P/n_pool pool rows
+    per device, one dispatch. The per-utterance body is the single-utterance
+    core's own (`_make_one_fp32`), vmapped over the local batch; the 'pool'
+    collectives (candidate all_gather merge, masked-gather psum) batch
+    transparently under vmap. Register shift uses each utterance's own voiced
+    median (the dense batch semantics, `_match_core_batch`)."""
+    n_shards = mesh.shape["pool"]
+    n_data = mesh.shape["data"]
+    p_pad = matching_sh.shape[0]
+    shard_len = p_pad // n_shards
+    k_local = _check_shardable(n_shards, shard_len, k)
+    if qs.shape[0] % n_data != 0:
+        raise ValueError(f"mesh 'data' axis ({n_data}) must divide the "
+                         f"batch ({qs.shape[0]})")
+    true_len = jnp.asarray(true_len, dtype=jnp.int32)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("data", None, None), P("data", None), P("pool", None),
+                  P("pool", None), P("pool", None), P(), P()),
+        out_specs=(P("data", None, None), P("data", None),
+                   P("data", None, None)),
+        check_vma=False,  # replicated along 'pool' past the merge
+    )
+    def run(qs_l, qf0s_l, pool_l, synth_l, harm_l, f0_full, tlen):
+        one = _make_one_fp32(pool_l, synth_l, harm_l, f0_full, tlen,
+                             shard_len, k, k_local, topk, use_harmonics,
+                             concat_weight, opt_enabled, max_opt_steps)
+        nan_med = jnp.float32(jnp.nan)  # per-utterance register shift
+        return jax.vmap(lambda q, f: one(q, f, nan_med))(qs_l, qf0s_l)
+
+    out, shifted, harm = run(qs, qf0s, matching_sh, synth_sh, harm_sh,
+                             pool_f0, true_len)
     return out, shifted, (harm if use_harmonics else None)
 
 
@@ -245,21 +327,10 @@ def sharded_match_core_int8(
     n_shards = mesh.shape["pool"]
     p_pad = matching_q8.shape[0]
     shard_len = p_pad // n_shards
-    k_local = min(k, shard_len)
-    if n_shards * k_local < k:
-        raise ValueError(
-            f"reference pool too small to shard: {n_shards} shards x "
-            f"{shard_len} rows/shard yield {n_shards * k_local} candidates "
-            f"< k={k}; use the dense matcher for pools this small.")
+    k_local = _check_shardable(n_shards, shard_len, k)
     true_len = jnp.asarray(true_len, dtype=jnp.int32)
 
-    # device-side row-wise query quantization (scales cancel in the cosine)
-    qf = q.astype(jnp.float32)
-    q_absmax = jnp.max(jnp.abs(qf), axis=1, keepdims=True)
-    q_scale = jnp.where(q_absmax > 0, q_absmax / 127.0, 1.0)
-    q8 = jnp.clip(jnp.round(qf / q_scale), -127, 127).astype(jnp.int8)
-    q_norm = jnp.linalg.norm(q8.astype(jnp.float32), axis=1, keepdims=True)
-    q_inv = jnp.where(q_norm > 0, 1.0 / q_norm, 0.0)
+    q8, q_inv = _quantize_queries(q)
 
     @functools.partial(
         jax.shard_map,
@@ -271,15 +342,41 @@ def sharded_match_core_int8(
     )
     def run(q8, q_inv, qf0, pool8_l, inv_l, synth_l, harm_l, f0_full, tlen,
             qmed):
-        shard_id = jax.lax.axis_index("pool")
-        offset = shard_id * shard_len
+        one = _make_one_int8(pool8_l, inv_l, synth_l, harm_l, f0_full, tlen,
+                             shard_len, k, k_local, topk, use_harmonics)
+        return one(q8, q_inv, qf0, qmed)
 
-        def gather(local, idx):
-            li = jnp.clip(idx - offset, 0, shard_len - 1)
-            rows = local[li]
-            mask = (idx >= offset) & (idx < offset + shard_len)
-            return jax.lax.psum(jnp.where(mask[..., None], rows, 0), "pool")
+    out, shifted, harm = run(q8, q_inv, qf0, matching_q8, inv_norms,
+                             synth_sh, harm_sh, pool_f0, true_len, qmed)
+    return out, shifted, (harm if use_harmonics else None)
 
+
+def _quantize_queries(q: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Device-side row-wise query quantization (row scales cancel in the
+    cosine). Works on (T, D) and (B, T, D) alike (last-axis rows)."""
+    qf = q.astype(jnp.float32)
+    q_absmax = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
+    q_scale = jnp.where(q_absmax > 0, q_absmax / 127.0, 1.0)
+    q8 = jnp.clip(jnp.round(qf / q_scale), -127, 127).astype(jnp.int8)
+    q_norm = jnp.linalg.norm(q8.astype(jnp.float32), axis=-1, keepdims=True)
+    q_inv = jnp.where(q_norm > 0, 1.0 / q_norm, 0.0)
+    return q8, q_inv
+
+
+def _make_one_int8(pool8_l, inv_l, synth_l, harm_l, f0_full, tlen,
+                   shard_len, k, k_local, topk, use_harmonics):
+    """Per-utterance int8 sharded-match body, shared by the single and the
+    batched cores (see `_make_one_fp32`)."""
+    shard_id = jax.lax.axis_index("pool")
+    offset = shard_id * shard_len
+
+    def gather(local, idx):
+        li = jnp.clip(idx - offset, 0, shard_len - 1)
+        rows = local[li]
+        mask = (idx >= offset) & (idx < offset + shard_len)
+        return jax.lax.psum(jnp.where(mask[..., None], rows, 0), "pool")
+
+    def one(q8, q_inv, qf0, qmed):
         dot = jax.lax.dot_general(
             q8, pool8_l, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32).astype(jnp.float32)
@@ -305,6 +402,62 @@ def sharded_match_core_int8(
             harm = jnp.zeros((q8.shape[0], 1), dtype=jnp.float32)
         return out, shifted, harm
 
-    out, shifted, harm = run(q8, q_inv, qf0, matching_q8, inv_norms,
-                             synth_sh, harm_sh, pool_f0, true_len, qmed)
+    return one
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "topk", "k", "use_harmonics"),
+)
+def sharded_match_core_int8_batch(
+    qs: jax.Array,              # (B, T, D) fp32 query batch, sharded on 'data'
+    qf0s: jax.Array,            # (B, T) query f0 batch, sharded on 'data'
+    matching_q8: jax.Array,     # (P_pad, D) int8 sharded on 'pool'
+    inv_norms: jax.Array,       # (P_pad,) fp32 sharded on 'pool'
+    synth_sh: jax.Array,        # (P_pad, D) fp32 sharded
+    harm_sh: jax.Array,         # (P_pad, H) sharded (pass synth_sh when unused)
+    pool_f0: jax.Array,         # (P,) replicated, unpadded
+    true_len,
+    *,
+    mesh: Mesh,
+    topk: int,
+    use_harmonics: bool,
+    k: int = 32,
+):
+    """int8 variant of `sharded_match_core_batch`: batch sharded on 'data',
+    int8 matching pool sharded on 'pool' — B/n_data utterances and
+    P/(4*n_pool) matching bytes per device. Serving (no_post_opt) configs
+    only, like the single-utterance int8 core."""
+    n_shards = mesh.shape["pool"]
+    n_data = mesh.shape["data"]
+    p_pad = matching_q8.shape[0]
+    shard_len = p_pad // n_shards
+    k_local = _check_shardable(n_shards, shard_len, k)
+    if qs.shape[0] % n_data != 0:
+        raise ValueError(f"mesh 'data' axis ({n_data}) must divide the "
+                         f"batch ({qs.shape[0]})")
+    true_len = jnp.asarray(true_len, dtype=jnp.int32)
+
+    q8s, q_invs = _quantize_queries(qs)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("data", None, None), P("data", None, None),
+                  P("data", None), P("pool", None), P("pool"),
+                  P("pool", None), P("pool", None), P(), P()),
+        out_specs=(P("data", None, None), P("data", None),
+                   P("data", None, None)),
+        check_vma=False,
+    )
+    def run(q8s_l, q_invs_l, qf0s_l, pool8_l, inv_l, synth_l, harm_l,
+            f0_full, tlen):
+        one = _make_one_int8(pool8_l, inv_l, synth_l, harm_l, f0_full, tlen,
+                             shard_len, k, k_local, topk, use_harmonics)
+        nan_med = jnp.float32(jnp.nan)  # per-utterance register shift
+        return jax.vmap(lambda q8, qi, f: one(q8, qi, f, nan_med))(
+            q8s_l, q_invs_l, qf0s_l)
+
+    out, shifted, harm = run(q8s, q_invs, qf0s, matching_q8, inv_norms,
+                             synth_sh, harm_sh, pool_f0, true_len)
     return out, shifted, (harm if use_harmonics else None)

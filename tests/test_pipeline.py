@@ -435,6 +435,101 @@ def test_bulk_convert_fast_data_batched_matches_serial(tiny_world, tmp_path,
         np.testing.assert_allclose(ys, yb, atol=1e-4)
 
 
+def test_match_utterances_batched_2d_sharded_equals_serial(tiny_world):
+    """The two scaling axes composed (VERDICT r3 #4): on a 2-D
+    Mesh('data','pool') = 4x2, the batched sharded core (batch on 'data',
+    pool on 'pool') returns exactly what the single-utterance sharded core
+    returns per lane — including through the concat-cost reselection (the
+    vmapped scan's masked-gather psum) — and every device holds only
+    ~P/n_pool pool rows."""
+    root, src_dir, tgt_dir, cfg, params, w = tiny_world
+    from knnsvc_tpu.config import PostOpt
+    from knnsvc_tpu.match.pipeline import match_utterance, match_utterances_batched
+    from knnsvc_tpu.match.pool import build_speaker_pool
+    from knnsvc_tpu.parallel.mesh import make_mesh
+    from knnsvc_tpu.parallel.sharded_match import shard_speaker_pool
+
+    mesh = make_mesh(n_data=4, n_pool=2)
+    ref_pool = build_speaker_pool(tgt_dir, params, cfg, w, w)
+    sp = shard_speaker_pool(ref_pool.matching, ref_pool.synth, ref_pool.f0,
+                            ref_pool.harmonics, mesh)
+
+    # HBM honesty on the 2-D mesh: every device's block of each pool array
+    # is one 'pool' shard (P_pad/n_pool rows), replicated along 'data'
+    p_pad = sp.matching.shape[0]
+    for arr in (sp.matching, sp.synth, sp.harmonics):
+        for s in arr.addressable_shards:
+            assert s.data.shape[0] == p_pad // 2, (s.data.shape, arr.shape)
+
+    # equal-length query batch (bucket-padded like the hub does)
+    rng = np.random.default_rng(0)
+    utts = list(build_speaker_pool(src_dir, params, cfg, w, w).utterances.values())
+    Tb = 96
+    qs, qf0s = [], []
+    for u in (utts * 2)[:4]:  # B=4 lanes over the 'data' axis
+        m, f0 = np.asarray(u.matching), np.asarray(u.f0)
+        m = np.concatenate([m, np.repeat(m[-1:], Tb - len(m), axis=0)])[:Tb]
+        f0 = np.concatenate([f0, np.zeros(Tb - len(f0), f0.dtype)])[:Tb]
+        qs.append(m)
+        qf0s.append(f0)
+    qs, qf0s = np.stack(qs), np.stack(qf0s)
+
+    popt = PostOpt.parse("no_post_opt_0.2")  # CAT on: exercises the carry scan
+    out_b, f0_b, harm_b = match_utterances_batched(
+        qs, qf0s, None, None, None, None, ckpt_type="mix", post_opt=popt,
+        matcher="sharded", sharded=sp)
+    for i in range(4):
+        feats = match_utterance(
+            qs[i], qf0s[i], None, None, None, None, ckpt_type="mix",
+            post_opt=popt, matcher="sharded", sharded=sp)
+        np.testing.assert_allclose(np.asarray(out_b[i]),
+                                   feats.out_feats_weighted, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(f0_b[i]),
+                                   feats.shifted_query_f0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(harm_b[i]),
+                                   feats.harmonics_out_feats_weighted,
+                                   atol=1e-5)
+
+
+@pytest.mark.parametrize("matcher", ["sharded", "sharded_int8"])
+def test_bulk_convert_fast_2d_batched_matches_serial(tiny_world, tmp_path,
+                                                     matcher):
+    """bulk_convert(fast=True, data_batch=4, matcher='sharded'|'sharded_int8',
+    mesh=Mesh(4,2)) — corpus fan-out composed with pool sharding — writes the
+    same outputs as the serial sharded loop (VERDICT r3 #4)."""
+    root, src_dir, tgt_dir, cfg, params, w = tiny_world
+    from knnsvc_tpu.config import ModelFamily
+    from knnsvc_tpu.hub import KnnSvc
+    from knnsvc_tpu.io.audio import load_audio
+    from knnsvc_tpu.models.hifigan import init_generator_params
+    from knnsvc_tpu.parallel.mesh import make_mesh
+
+    h = HiFiGANConfig.from_dict(SMALL_HIFIGAN)
+    gen = init_generator_params(jax.random.PRNGKey(1), h, ModelFamily.MIX)
+    knn = KnnSvc(params, cfg, gen, h, ckpt_type="mix")
+    knn.weighting = w
+
+    mesh = make_mesh(n_data=4, n_pool=2)
+    serial = knn.bulk_convert(str(root), str(root),
+                              str(tmp_path / f"serial_{matcher}"),
+                              fast=True, matcher=matcher,
+                              mesh=make_mesh(n_data=1, n_pool=2))
+    batched = knn.bulk_convert(str(root), str(root),
+                               str(tmp_path / f"batched_{matcher}"),
+                               fast=True, matcher=matcher,
+                               data_batch=4, mesh=mesh)
+    assert len(serial) == len(batched) > 0
+    for ps, pb in zip(sorted(serial), sorted(batched)):
+        assert os.path.relpath(ps, tmp_path / f"serial_{matcher}") == \
+            os.path.relpath(pb, tmp_path / f"batched_{matcher}")
+        ys, _ = load_audio(ps)
+        yb, _ = load_audio(pb)
+        assert ys.shape == yb.shape
+        # identical semantics; vmap/batch lowering may flip the last float
+        # bit, which the int16 quantizer amplifies to one quantum (3.05e-5)
+        np.testing.assert_allclose(ys, yb, atol=1e-4)
+
+
 def test_match_at_inference_time_sharded_int8(tiny_world):
     """int8-sharded serving matcher: the matching pool lives int8 at
     P/(4*n_shards) bytes per device, no fp32 matching array is ever created,
