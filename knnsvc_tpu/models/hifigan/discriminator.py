@@ -153,8 +153,12 @@ def msd_apply(params: Params, y: jax.Array, y_hat: jax.Array, update_sn: bool = 
 
 
 def init_mpd_params(key: jax.Array, weight_norm_parametrized: bool = True,
-                    width_scale: int = 1) -> Params:
-    """width_scale > 1 shrinks channels (tiny dry-run/test models)."""
+                    width_scale: int = 1,
+                    n_periods: int | None = None) -> Params:
+    """width_scale > 1 shrinks channels (tiny dry-run/test models);
+    n_periods < 5 keeps only the first periods (mpd_apply zips the param
+    list with MPD_PERIODS, so a shorter list is a smaller topology — used
+    by the multichip dryrun to bound CPU compile time)."""
     keys = iter(jax.random.split(key, 128))
 
     def conv2(out_c, in_c, kh):
@@ -169,7 +173,7 @@ def init_mpd_params(key: jax.Array, weight_norm_parametrized: bool = True,
     top = 1024 // width_scale
     chans = [1] + [c // width_scale for c in _MPD_CHANNELS] + [top]
     discs = []
-    for _ in MPD_PERIODS:
+    for _ in MPD_PERIODS[: n_periods if n_periods is not None else len(MPD_PERIODS)]:
         convs = [conv2(chans[i + 1], chans[i], 5) for i in range(4)]
         convs.append(conv2(top, top, 5))
         discs.append({"convs": convs, "conv_post": conv2(1, top, 3)})
@@ -177,8 +181,11 @@ def init_mpd_params(key: jax.Array, weight_norm_parametrized: bool = True,
 
 
 def init_msd_params(key: jax.Array, weight_norm_parametrized: bool = True,
-                    width_scale: int = 1) -> Params:
-    """width_scale must keep channels divisible by the conv groups (<=8 ok)."""
+                    width_scale: int = 1,
+                    n_scales: int | None = None) -> Params:
+    """width_scale must keep channels divisible by the conv groups (<=8 ok);
+    n_scales < 3 keeps only the first scales (msd_apply enumerates the param
+    list, so a shorter list is a smaller topology)."""
     keys = iter(jax.random.split(key, 128))
 
     def conv1(out_c, in_c, k, spectral: bool):
@@ -195,7 +202,7 @@ def init_msd_params(key: jax.Array, weight_norm_parametrized: bool = True,
         return p
 
     discs = []
-    for d in range(3):
+    for d in range(n_scales if n_scales is not None else 3):
         spectral = d == 0  # ref ddsp_models.py:590-594
         in_c = 1
         convs = []

@@ -68,7 +68,9 @@ def set_learning_rate(opt_state, lr: float):
 
 
 def init_train_state(key: jax.Array, h: HiFiGANConfig, family: ModelFamily,
-                     disc_width_scale: int = 1) -> TrainState:
+                     disc_width_scale: int = 1,
+                     disc_periods: int | None = None,
+                     disc_scales: int | None = None) -> TrainState:
     from knnsvc_tpu.models.hifigan import (
         init_generator_params,
         init_mpd_params,
@@ -77,8 +79,10 @@ def init_train_state(key: jax.Array, h: HiFiGANConfig, family: ModelFamily,
 
     kg, kp, ks = jax.random.split(key, 3)
     g = init_generator_params(kg, h, family, weight_norm_parametrized=True)
-    mpd = init_mpd_params(kp, width_scale=disc_width_scale)
-    msd = init_msd_params(ks, width_scale=disc_width_scale)
+    mpd = init_mpd_params(kp, width_scale=disc_width_scale,
+                          n_periods=disc_periods)
+    msd = init_msd_params(ks, width_scale=disc_width_scale,
+                          n_scales=disc_scales)
     opt_g, opt_d = make_optimizers(h)
     return TrainState(
         g_params=g, mpd_params=mpd, msd_params=msd,
