@@ -147,6 +147,19 @@ def _native_available() -> bool:
         return False
 
 
+# method -> (native fn name, sidecar cache name). The cache name is part of
+# the on-disk contract: when a method's underlying extractor changes, its
+# cache name MUST change too, or stale caches from the old extractor would
+# silently serve the new method's reads ('fast' was DIO through round 3 and
+# cached as _f0_fast.npy; the budget Harvest caches as _f0_hfast.npy, and
+# old DIO caches are simply orphaned — recomputed, never mixed).
+_NATIVE_METHODS = {
+    "harvest": ("harvest_f0", "harvest"),   # parity; caches <stem>_f0.npy
+    "fast": ("harvest_fast_f0", "hfast"),   # budget Harvest (serving default)
+    "dio": ("dio_f0", "dio"),               # fastest; lowest recall
+}
+
+
 def get_f0(x: np.ndarray, sr: int, audio_path: str | None = None,
            hop: int = DEFAULT_HOP, use_sidecar: bool = True,
            write_sidecar: bool = True, method: str = "harvest") -> np.ndarray:
@@ -154,17 +167,19 @@ def get_f0(x: np.ndarray, sr: int, audio_path: str | None = None,
     caching the result as a sidecar (ref ddsp_prematch_dataset.py:372-386).
 
     method: 'harvest' (native parity-grade Harvest, the live-path default —
-    same extractor family as the reference's pyworld call), 'fast' (native
-    DIO+refinement, ~25x faster, for latency-sensitive serving), or 'yin'
-    (pure-numpy fallback). harvest/fast fall back to YIN when the native
+    same extractor family as the reference's pyworld call), 'fast' (the
+    budget Harvest: same pipeline on a coarser grid, >100x realtime, for
+    latency-sensitive serving), 'dio' (DIO+StoneMask, fastest), or 'yin'
+    (pure-numpy fallback). Native methods fall back to YIN when the native
     toolchain is unavailable."""
+    cache_name = _NATIVE_METHODS.get(method, (None, method))[1]
     if use_sidecar and audio_path is not None:
         # the parity sidecar (harvest-grade, the reference's convention) is
         # preferred by every method; approximate methods fall back to their
         # own method-suffixed cache
         cached = load_f0_sidecar(audio_path)
         if cached is None and method != "harvest":
-            p = _sidecar_path(audio_path, method)
+            p = _sidecar_path(audio_path, cache_name)
             if os.path.exists(p):
                 cached = np.load(p).astype(np.float32)
         if cached is None and method != "yin" and not _native_available():
@@ -175,23 +190,23 @@ def get_f0(x: np.ndarray, sr: int, audio_path: str | None = None,
                 cached = np.load(p).astype(np.float32)
         if cached is not None:
             return cached
-    method_used = method
+    cache_used = cache_name
     if method == "yin":
         f0 = yin_f0(x, sr, hop=hop)
     else:
         try:
             from knnsvc_tpu.dsp import harvest as native
 
-            fn = native.dio_f0 if method == "fast" else native.harvest_f0
+            fn = getattr(native, _NATIVE_METHODS[method][0])
             f0 = fn(x, sr, hop=hop)
         except (ImportError, OSError):
             f0 = yin_f0(x, sr, hop=hop)
-            method_used = "yin"  # the fallback must not write Harvest's sidecar
+            cache_used = "yin"  # the fallback must not write Harvest's sidecar
     if write_sidecar and audio_path is not None:
         try:
-            # cache under the EXECUTED method's name: approximate output must
-            # never poison the parity (<stem>_f0.npy) sidecar
-            np.save(_sidecar_path(audio_path, method_used),
+            # cache under the EXECUTED extractor's name: approximate output
+            # must never poison the parity (<stem>_f0.npy) sidecar
+            np.save(_sidecar_path(audio_path, cache_used),
                     np.asarray(f0, dtype=np.float32))
         except OSError:
             pass  # read-only source tree

@@ -7,9 +7,11 @@ Two extractors share libworldline.so:
   pyworld (ref ddsp_prematch_dataset.py:121-128): floor 65 Hz, ceil 1047 Hz,
   frame period hop/sr*1000 ms. The live-path default for pool building
   (results are sidecar-cached like the reference's `<stem>_f0.npy`).
-- `dio_f0` — the fast DIO+StoneMask production extractor
-  (native/worldline/dio.cc), >500x realtime on one core; used by the
-  latency-sensitive conversion path.
+- `harvest_fast_f0` — the BUDGET Harvest (same binary, coarser grid +
+  lighter economy, re-fit gates), ~120-135x realtime on one core; the
+  serving fast path's extractor since round 4 (get_f0 method='fast').
+- `dio_f0` — DIO+StoneMask (native/worldline/dio.cc), ~240-430x realtime;
+  the fastest option (get_f0 method='dio'), lowest recall.
 
 Both return pyworld's frame layout (n_frames = T//hop + 1) with estimates
 below 80 Hz zeroed (ref ddsp_matcher.py:425-426). Builds lazily on first use
@@ -52,6 +54,8 @@ def _load_library() -> ctypes.CDLL:
         ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.POINTER(ctypes.c_double),
     ]
+    lib.worldline_harvest_fast.restype = ctypes.c_int
+    lib.worldline_harvest_fast.argtypes = lib.worldline_harvest.argtypes
     _lib = lib
     return lib
 
@@ -82,6 +86,22 @@ def harvest_f0(x: np.ndarray, sr: int, hop: int = 320,
     )
     if rc != 0:
         raise RuntimeError(f"worldline_harvest failed with code {rc}")
+    return _finish(out)
+
+
+def harvest_fast_f0(x: np.ndarray, sr: int, hop: int = 320,
+                    f0_floor: float = F0_FLOOR, f0_ceil: float = F0_CEIL) -> np.ndarray:
+    """Budget Harvest (native/harvest/harvest.cc worldline_harvest_fast):
+    the parity pipeline on a coarser internal grid with a lighter
+    filterbank/refine economy — the serving fast path's extractor."""
+    lib, xd, frame_period_ms, out = _prep(x, sr, hop)
+    rc = lib.worldline_harvest_fast(
+        xd.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(xd), sr,
+        frame_period_ms, f0_floor, f0_ceil,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"worldline_harvest_fast failed with code {rc}")
     return _finish(out)
 
 

@@ -69,7 +69,8 @@ def evaluate(extract, seconds: float | None = None) -> dict:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--method", default="harvest", choices=["harvest", "fast", "yin"])
+    ap.add_argument("--method", default="harvest",
+                    choices=["harvest", "fast", "dio", "yin"])
     ap.add_argument("--seconds", type=float, default=None)
     args = ap.parse_args()
 
@@ -78,7 +79,8 @@ def main() -> int:
     else:
         import knnsvc_tpu.dsp.harvest as h
 
-        fn = h.harvest_f0 if args.method == "harvest" else h.dio_f0
+        fn = {"harvest": h.harvest_f0, "fast": h.harvest_fast_f0,
+              "dio": h.dio_f0}[args.method]
     stats = evaluate(fn, args.seconds)
     for k, v in stats.items():
         print(f"{k:>18}: {v:.4f}" if isinstance(v, float) else f"{k:>18}: {v}")

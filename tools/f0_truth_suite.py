@@ -263,7 +263,9 @@ def evaluate(suite_dir: str, split: str, method: str,
     else:
         import knnsvc_tpu.dsp.harvest as h
 
-        extract = h.harvest_f0 if method == "harvest" else h.dio_f0
+        extract = {"harvest": h.harvest_f0,
+                   "fast": h.harvest_fast_f0,
+                   "dio": h.dio_f0}[method]
 
     root = Path(suite_dir) / split
     tp = fp = fn = 0
@@ -312,7 +314,7 @@ def main() -> int:
     ap.add_argument("--eval", help="evaluate an extractor against a suite dir")
     ap.add_argument("--split", default=None, choices=["tune", "heldout"])
     ap.add_argument("--method", default="harvest",
-                    choices=["harvest", "fast", "yin"])
+                    choices=["harvest", "fast", "dio", "yin"])
     ap.add_argument("--per-file", action="store_true")
     args = ap.parse_args()
     if args.out:
