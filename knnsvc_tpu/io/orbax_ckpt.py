@@ -42,6 +42,16 @@ def restore_train_state(directory: str, template: Any,
         try:
             meta = mngr.item_metadata(step)
             tree = getattr(meta, "item_metadata", meta)
+            if tree is None:
+                # orbax >= 0.11: the manager cannot infer a handler without a
+                # registry and returns None — read the item's own tree
+                # metadata directly instead
+                import os as _os
+
+                item_dir = _os.path.join(str(directory), str(step), "default")
+                m2 = ocp.StandardCheckpointer().metadata(item_dir)
+                tree = getattr(m2, "item_metadata", m2)
+            tree = getattr(tree, "tree", tree)  # TreeMetadata -> plain dict
             has_epoch = isinstance(tree, dict) and "epoch" in tree \
                 and "state" in tree
         except Exception:

@@ -64,6 +64,7 @@ def train(
     checkpoint_backend: str = "pickle",
     val_artifacts: int = 2,
     ckpt_type: str | None = None,
+    disc_width_scale: int = 1,
 ) -> TrainState:
     """compute_dtype='bfloat16' enables the mixed-precision train step (the
     reference's fp16 AMP analogue, ref ddsp_train.py:153-155).
@@ -94,7 +95,8 @@ def train(
     rep = replicated(mesh)
 
     opt_g, opt_d = make_optimizers(h)
-    state = init_train_state(jax.random.PRNGKey(h.seed if seed is None else seed), h, family)
+    state = init_train_state(jax.random.PRNGKey(h.seed if seed is None else seed), h, family,
+                             disc_width_scale=disc_width_scale)
     start_epoch, start_steps = 0, 0
     if resume_from is not None and checkpoint_backend == "orbax":
         from knnsvc_tpu.io.orbax_ckpt import restore_train_state

@@ -95,6 +95,10 @@ def _train_kwargs(root, ckpt_dir, **over):
         with_harm=True,
         max_val_items=4,
         val_artifacts=0,
+        # full 5+3 discriminator topology, narrow channels: the soak is
+        # about training DYNAMICS (val improvement, rotation, resume), and
+        # full-width discs cost ~10 s/step on the 1-core CPU box
+        disc_width_scale=8,
     )
     kw.update(over)
     return kw
