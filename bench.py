@@ -44,7 +44,8 @@ import subprocess
 import sys
 import time
 
-SR, HOP, SECONDS = 16000, 320, 30
+SR, HOP = 16000, 320
+SECONDS = int(os.environ.get("KNNSVC_BENCH_SECONDS", "30"))
 SAMPLE_DIR = "/root/reference/sample_content"
 SRC = f"{SAMPLE_DIR}/Danakil-voice_resampled_16000_cut.wav"
 REF = f"{SAMPLE_DIR}/Tiken_lead_07_resampled_16000_cut.wav"
@@ -180,7 +181,8 @@ def run_config(name: str, precision: str, matcher: str, post_opt: str,
     # compute in flight, and the single sync is the waveform download the
     # production path needs anyway
     times = []
-    for _ in range(12):  # min-of-12: the shared tunnel/chip shows ~40% swings
+    reps = int(os.environ.get("KNNSVC_BENCH_REPS", "12"))
+    for _ in range(reps):  # min-of-12: the shared tunnel/chip shows ~40% swings
         t0 = time.time()
         wav, _, _ = convert_once(StageTimer(sync=False))
         times.append(time.time() - t0)
