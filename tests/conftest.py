@@ -19,19 +19,6 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: the suite's wall time is dominated by
-# CPU-XLA compiles (train steps, fused match cores); caching them under the
-# repo (gitignored, same dir the dryrun uses) makes repeated suite runs on
-# the same box skip recompilation entirely.
-try:
-    _cache_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".cache", "jax")
-    os.makedirs(_cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-except Exception:  # noqa: BLE001 — cache is best-effort, never fatal
-    pass
-
 import pathlib
 
 import pytest
