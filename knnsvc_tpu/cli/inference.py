@@ -82,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "latency; see KnnSvc.stream_convert_chunks)")
     parser.add_argument("--stream_context_s", type=float, default=1.0,
                         help="lookahead/lookback context per streamed chunk")
+    parser.add_argument("--stream_right_context_s", type=float, default=None,
+                        help="decouple LOOKAHEAD from lookback: only the "
+                             "right context adds algorithmic latency "
+                             "(default: symmetric --stream_context_s)")
     return parser
 
 
@@ -127,6 +131,7 @@ def main(argv=None) -> int:
                 context_s=args.stream_context_s, topk=args.topk,
                 prioritize_f0=args.prioritize_f0, post_opt=args.post_opt,
                 matcher=args.matcher,
+                right_context_s=args.stream_right_context_s,
             )
             print("->", out)
             return 0

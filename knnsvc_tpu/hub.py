@@ -469,7 +469,8 @@ class KnnSvc:
                               topk: int = 4, prioritize_f0: bool = True,
                               post_opt: str = "no_post_opt",
                               matcher: str = "approx",
-                              vocode_margin_frames: int = 16):
+                              vocode_margin_frames: int = 16,
+                              right_context_s: float | None = None):
         """Streaming conversion: yield successive converted waveform chunks
         of `chunk_s` seconds with `context_s` of lookahead/lookback context.
         No reference analogue — the reference converts whole utterances only
@@ -477,6 +478,14 @@ class KnnSvc:
         serving mode. Algorithmic latency = chunk_s + context_s; at the
         measured ~95x-RT single-chip throughput a 2 s + 1 s window leaves
         the pipeline comfortably ahead of realtime.
+
+        right_context_s decouples LOOKAHEAD from lookback (None = symmetric
+        context_s). Only the right context is algorithmic latency — the
+        left context is audio already heard — so live-mic serving wants
+        e.g. context_s=1.0, right_context_s=0.1: latency chunk_s + 0.1 s
+        while boundary frames keep a full second of past context. Clamped
+        to one hop minimum mid-stream (the conv frontend trims edge
+        frames).
 
         Per chunk: encode [chunk +- context] (WavLM attention sees the full
         window, so boundary frames keep near-utterance context), match ALL
@@ -504,6 +513,8 @@ class KnnSvc:
         hop = HOP_LENGTH
         F = max(1, int(round(chunk_s * self.sr)) // hop)
         C = max(0, int(round(context_s * self.sr)) // hop)
+        CR = C if right_context_s is None else max(
+            0, int(round(right_context_s * self.sr)) // hop)
         if isinstance(src, (str, Path)):
             wav = load_utterance(src, self.sr)
         else:
@@ -513,8 +524,9 @@ class KnnSvc:
         # window comes up short of F center frames (silent truncation). Clamp
         # to one frame whenever the input actually spans multiple chunks;
         # C=0 stays honored for single-chunk inputs (no boundary to protect).
-        if C == 0 and len(wav) > F * hop:
-            C = 1
+        if len(wav) > F * hop:
+            C = max(C, 1)
+            CR = max(CR, 1)
         ref_wav = load_utterance(ref_wav_file, self.sr)
         ref = build_device_pool(ref_wav, self.wavlm_params, self.wavlm_cfg,
                                 self.weighting, self.weighting, self.sr,
@@ -547,7 +559,7 @@ class KnnSvc:
             if g_lo * hop >= len(wav):
                 break
             w0 = max(0, g_lo - C) * hop
-            w1 = min(len(wav), (g_lo + F + C) * hop)
+            w1 = min(len(wav), (g_lo + F + CR) * hop)
             window = wav[w0:w1]
             # build_device_pool drops chunks <= MIN_CHUNK_SECONDS*sr (= one
             # hop at 16 kHz), which would leave an empty feature list

@@ -138,6 +138,32 @@ def test_stream_zero_context_yields_complete_audio(svc_world):
     assert abs(total - n_src) <= 320 * 2
 
 
+def test_stream_asymmetric_context(svc_world, tmp_path):
+    """right_context_s decouples LOOKAHEAD from lookback (r4): a long left
+    context with minimal right context keeps the stream complete, and with
+    context covering the whole utterance on BOTH settings the outputs agree
+    (window contents identical -> same features, same anchored shift)."""
+    root, knn = svc_world
+    src, ref = str(root / "src_sing.wav"), str(root / "ref.wav")
+    # minimal lookahead: full-length output, multiple chunks
+    chunks = list(knn.stream_convert_chunks(src, ref, chunk_s=0.25,
+                                            context_s=0.5,
+                                            right_context_s=0.05))
+    assert len(chunks) >= 3
+    n_src = load_audio(src)[0].shape[-1]
+    total = sum(c.shape[-1] for c in chunks)
+    assert abs(total - n_src) <= 320 * 2
+    assert all(np.isfinite(c).all() for c in chunks)
+    # symmetric vs asymmetric agree when both windows span the utterance
+    # (src_sing is 1 s: context 4 s either side covers everything)
+    a = np.concatenate(list(knn.stream_convert_chunks(
+        src, ref, chunk_s=0.5, context_s=4.0, matcher="exact")))
+    b = np.concatenate(list(knn.stream_convert_chunks(
+        src, ref, chunk_s=0.5, context_s=4.0, right_context_s=4.0,
+        matcher="exact")))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_stream_small_context_structure(svc_world, tmp_path):
     root, knn = svc_world
     src, ref = str(root / "src_sing.wav"), str(root / "ref.wav")
