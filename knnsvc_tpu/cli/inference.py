@@ -62,10 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["highest", "high", "fastest"],
                         help="matmul/conv precision: highest = fp32 parity, fastest = bf16 MXU")
     parser.add_argument("--matcher", type=str, default="exact",
-                        choices=["exact", "approx", "int8", "sharded"],
+                        choices=["exact", "approx", "int8", "sharded",
+                                 "sharded_int8"],
                         help="kNN candidate search: exact (parity), approx (aggregated "
                              "top-k), int8 (quantized pool), sharded (pool sharded over "
-                             "all devices' Mesh 'pool' axis, distributed top-k merge)")
+                             "all devices' Mesh 'pool' axis, distributed top-k merge), "
+                             "sharded_int8 (int8 pool AND sharded: P/(4*n) bytes/device)")
     parser.add_argument("--out", type=str, default=None,
                         help="pair mode: explicit output path (default: the "
                              "reference's convention of writing next to the "
@@ -86,6 +88,15 @@ def build_parser() -> argparse.ArgumentParser:
                         help="decouple LOOKAHEAD from lookback: only the "
                              "right context adds algorithmic latency "
                              "(default: symmetric --stream_context_s)")
+    parser.add_argument("--stream_encoder", default="windowed",
+                        choices=("windowed", "cached"),
+                        help="'cached' uses the incremental KV-cache encoder "
+                             "(encodes only new frames per chunk instead of "
+                             "re-encoding the context window; see "
+                             "KnnSvc.stream_convert_chunks)")
+    parser.add_argument("--stream_cache_s", type=float, default=4.0,
+                        help="cached encoder only: seconds of finalized "
+                             "frames kept as attention left context")
     return parser
 
 
@@ -132,6 +143,7 @@ def main(argv=None) -> int:
                 prioritize_f0=args.prioritize_f0, post_opt=args.post_opt,
                 matcher=args.matcher,
                 right_context_s=args.stream_right_context_s,
+                encoder=args.stream_encoder, cache_s=args.stream_cache_s,
             )
             print("->", out)
             return 0

@@ -470,7 +470,9 @@ class KnnSvc:
                               post_opt: str = "no_post_opt",
                               matcher: str = "approx",
                               vocode_margin_frames: int = 16,
-                              right_context_s: float | None = None):
+                              right_context_s: float | None = None,
+                              encoder: str = "windowed",
+                              cache_s: float = 4.0):
         """Streaming conversion: yield successive converted waveform chunks
         of `chunk_s` seconds with `context_s` of lookahead/lookback context.
         No reference analogue — the reference converts whole utterances only
@@ -501,6 +503,20 @@ class KnnSvc:
         voiced frames seen so far (converges to the reference's whole-
         utterance shift; equal to it once the stream covers the utterance).
 
+        encoder='cached' swaps the per-window re-encode for the INCREMENTAL
+        streaming encoder (models/wavlm/streaming.py): each chunk encodes
+        only its own F + lookahead frames — conv frontend exactly, the
+        transformer over a sliding per-layer KV cache of the last `cache_s`
+        seconds of finalized frames (Emformer-style). Encoder compute per
+        emitted frame drops from (C+F+CR)/F passes to (F+CR)/F (~2x at the
+        defaults), and the attention left context (cache_s, default 4 s) is
+        LONGER than the windowed context_s for nearly free. Left-context
+        frames enter the match window as their already-final features
+        instead of being re-encoded — a bounded approximation
+        (tests/test_streaming_encoder.py) vs the windowed mode, which is
+        itself an approximation of the whole-utterance batch encode.
+        Requires a one-hot layer weighting (the serving path's case).
+
         src: a path or a 1-D float waveform at self.sr.
         Yields float32 arrays of chunk_s*sr samples (last may be shorter),
         int16-quantized like the fast path."""
@@ -510,6 +526,9 @@ class KnnSvc:
         if matcher not in ("exact", "approx", "sharded", "sharded_int8"):
             raise ValueError(f"streaming supports matcher 'exact', 'approx', "
                              f"'sharded' or 'sharded_int8', not {matcher!r}")
+        if encoder not in ("windowed", "cached"):
+            raise ValueError(f"encoder must be 'windowed' or 'cached', "
+                             f"not {encoder!r}")
         hop = HOP_LENGTH
         F = max(1, int(round(chunk_s * self.sr)) // hop)
         C = max(0, int(round(context_s * self.sr)) // hop)
@@ -550,6 +569,27 @@ class KnnSvc:
         # yet threaded through the shard_map core).
         continuity = (po.concat_weight != -1.0
                       and matcher in ("exact", "approx"))
+        enc_stream = None
+        if encoder == "cached":
+            from knnsvc_tpu.dsp.f0 import get_f0
+            from knnsvc_tpu.models.wavlm import frame_count
+            from knnsvc_tpu.models.wavlm.streaming import WavLMStreamEncoder
+            from knnsvc_tpu.utils.layer_weights import one_hot_layer
+
+            hot = one_hot_layer(self.weighting)
+            if hot is None:
+                raise ValueError("encoder='cached' needs a one-hot layer "
+                                 "weighting (the serving path's case)")
+            cache_frames = max(1, int(round(cache_s * self.sr)) // hop)
+            enc_stream = WavLMStreamEncoder(
+                self.wavlm_params, self.wavlm_cfg, hot,
+                chunk_frames=F, lookahead_frames=CR,
+                cache_frames=cache_frames)
+            # global frame budget under the ref's pad quirk (pool.py:299) —
+            # the same framing the windowed mode derives per window
+            n_pad = hop - len(wav) % hop
+            total_frames = frame_count(self.wavlm_cfg, len(wav) + n_pad)
+            feat_buf = None       # last C FINAL frames' features (device)
         carry = None              # (sel (L, k), sticky weight) at last frame
         tail = None               # (out, harm, global start) prev chunk slice
         voiced = np.zeros(0, np.float32)  # running voiced-f0 history
@@ -565,12 +605,37 @@ class KnnSvc:
             # hop at 16 kHz), which would leave an empty feature list
             if len(window) <= hop:
                 break
-            wpool = build_device_pool(window, self.wavlm_params,
-                                      self.wavlm_cfg, self.weighting,
-                                      self.weighting, self.sr,
-                                      f0_method="fast")
-            t_local = int(wpool.matching.shape[0])
-            c_lo = g_lo - w0 // hop
+            if enc_stream is not None:
+                frames_this = min(F + CR, total_frames - g_lo)
+                if frames_this <= 0:
+                    break
+                s0 = g_lo * hop
+                seg = wav[s0 : s0 + enc_stream.sample_len]
+                seg = np.pad(seg, (0, enc_stream.sample_len - len(seg)))
+                feats_new = enc_stream.step(seg)[:frames_this]
+                c_lo = min(C, g_lo)
+                q_match = (feats_new if c_lo == 0 else
+                           jnp.concatenate([feat_buf[-c_lo:], feats_new]))
+                t_local = c_lo + frames_this
+                # f0 over the same window audio/framing as the windowed mode
+                wa = window
+                f0_np_full = get_f0(
+                    np.pad(wa, (0, hop - len(wa) % hop)), self.sr,
+                    use_sidecar=False, write_sidecar=False, method="fast")
+                q_f0 = jnp.asarray(
+                    np.asarray(f0_np_full[:t_local], np.float32))
+                n_fin = min(F, frames_this)
+                feat_buf = (feats_new[:n_fin] if feat_buf is None else
+                            jnp.concatenate([feat_buf, feats_new[:n_fin]])
+                            [-max(C, 1):])
+            else:
+                wpool = build_device_pool(window, self.wavlm_params,
+                                          self.wavlm_cfg, self.weighting,
+                                          self.weighting, self.sr,
+                                          f0_method="fast")
+                t_local = int(wpool.matching.shape[0])
+                c_lo = g_lo - w0 // hop
+                q_match, q_f0 = wpool.matching, wpool.f0
             if c_lo >= t_local:
                 break
             c_hi = min(c_lo + F, t_local)
@@ -586,7 +651,7 @@ class KnnSvc:
                     f"the encoder's edge trim eats context, not output")
             # register anchor: running voiced-f0 median (torch-median
             # semantics via the same jnp helper the core uses)
-            f0_np = np.asarray(wpool.f0)
+            f0_np = np.asarray(q_f0)
             new_v = f0_np[c_lo:c_hi]
             voiced = np.concatenate([voiced, new_v[new_v > 0]])
             anchor = (float(masked_log_median(jnp.asarray(voiced)))
@@ -596,7 +661,7 @@ class KnnSvc:
                 from knnsvc_tpu.match.pipeline import match_utterance_stream
 
                 out_s, shifted_full, harm_s, carry_at = match_utterance_stream(
-                    wpool.matching, wpool.f0, ref.matching, ref.synth,
+                    q_match, q_f0, ref.matching, ref.synth,
                     ref.f0, ref.harmonics, ckpt_type=self.ckpt_type,
                     post_opt=po, scan_from=c_lo, carry=carry, topk=topk,
                     matcher=matcher, query_f0_log_median=anchor)
@@ -630,7 +695,7 @@ class KnnSvc:
                 chunk_idx += 1
                 continue
             feats = match_utterance(
-                wpool.matching, wpool.f0, ref.matching, ref.synth, ref.f0,
+                q_match, q_f0, ref.matching, ref.synth, ref.f0,
                 ref.harmonics, ckpt_type=self.ckpt_type, post_opt=po,
                 topk=topk, prioritize_f0=prioritize_f0, matcher=matcher,
                 sharded=sharded, as_numpy=False, query_f0_log_median=anchor)

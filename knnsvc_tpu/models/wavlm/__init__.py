@@ -1,4 +1,5 @@
 from knnsvc_tpu.models.wavlm.model import (
+    frame_count,
     init_wavlm_params,
     wavlm_encode,
     wavlm_extract_layer,
@@ -7,6 +8,7 @@ from knnsvc_tpu.models.wavlm.model import (
 )
 
 __all__ = [
+    "frame_count",
     "init_wavlm_params",
     "wavlm_encode",
     "wavlm_extract_layer",

@@ -283,6 +283,40 @@ def test_stream_single_chunk_sharded_int8_equals_fast_pair(svc_world,
     np.testing.assert_array_equal(chunks[0], batch)
 
 
+def test_cli_streaming(svc_world, tmp_path, monkeypatch):
+    """CLI-level streaming (VERDICT r3 #6): --stream_chunk_s through the
+    int8-sharded matcher the hub supports, and through the cached
+    incremental encoder (--stream_encoder cached)."""
+    root, knn = svc_world
+    from knnsvc_tpu.cli import inference as cli
+    from knnsvc_tpu.hub import KnnSvc
+
+    monkeypatch.setattr(KnnSvc, "random_init",
+                        classmethod(lambda cls, *a, **k: knn))
+    src, ref = str(root / "src_sing.wav"), str(root / "ref.wav")
+
+    out = tmp_path / "stream_q8.wav"
+    rc = cli.main([src, ref, "--random_init", "true",
+                   "--stream_chunk_s", "2.0", "--stream_context_s", "0.5",
+                   "--matcher", "sharded_int8", "--out", str(out)])
+    assert rc == 0 and out.is_file()
+    y, sr = load_audio(out)
+    assert sr == 16000 and np.isfinite(np.asarray(y)).all()
+
+    out2 = tmp_path / "stream_cached.wav"
+    rc = cli.main([src, ref, "--random_init", "true",
+                   "--stream_chunk_s", "0.4", "--stream_context_s", "0.25",
+                   "--stream_encoder", "cached", "--matcher", "exact",
+                   "--out", str(out2)])
+    assert rc == 0 and out2.is_file()
+    y2, _ = load_audio(out2)
+    y2 = np.asarray(y2)[0]
+    assert np.isfinite(y2).all()
+    # complete audio: within one hop*2 of the source length
+    src_len = len(np.asarray(load_audio(src)[0])[0])
+    assert abs(len(y2) - src_len) <= 320 * 2
+
+
 def test_register_anchor_semantics():
     """The property streaming depends on: shifting a CHUNK with the full-
     utterance anchor equals shifting the full utterance and slicing; an

@@ -11,14 +11,20 @@ Usage: python tools/stream_bench.py [--chunk_s 2.0] [--context_s 1.0]
        [--post_opt no_post_opt] [--matcher approx] [--precision fastest]
 
 --context_sweep additionally measures the CONTEXT TRADEOFF (VERDICT r3
-weak #4): each chunk re-encodes [chunk +- context] of audio, so WavLM
-compute is amplified by (chunk + 2*context)/chunk (2x at the 2 s/1 s
-defaults) — the window is re-encoded because the encoder's attention is
-bidirectional (an exact incremental reuse does not exist). The sweep
+weak #4): with the default windowed encoder each chunk re-encodes
+[chunk +- context] of audio, so WavLM compute is amplified by
+(chunk + 2*context)/chunk (2x at the 2 s/1 s defaults). The sweep
 reports, per context_s: compute amplification, steady per-chunk latency,
 and the streamed output's deviation vs the batch fast path — making
 "how much context can I afford" a measured decision instead of a default.
 The deviation column works on CPU too; latency needs the chip.
+
+--encoder cached swaps in the incremental KV-cache encoder
+(models/wavlm/streaming.py): only chunk + right_context frames are encoded
+per step (amplification (chunk + rc)/chunk regardless of left context), the
+left context coming from cached finalized frames. In the sweep, context_s
+then varies only the MATCH-window lookback + lookahead; the amplification
+column reflects the cached encoder's actual encode cost.
 """
 
 from __future__ import annotations
@@ -44,6 +50,12 @@ def main() -> int:
     ap.add_argument("--post_opt", default="no_post_opt")
     ap.add_argument("--matcher", default="approx")
     ap.add_argument("--precision", default="fastest")
+    ap.add_argument("--encoder", default="windowed",
+                    choices=("windowed", "cached"),
+                    help="'cached' = incremental KV-cache encoder (encodes "
+                         "only new frames per chunk)")
+    ap.add_argument("--cache_s", type=float, default=4.0,
+                    help="cached encoder: seconds of finalized left context")
     ap.add_argument("--context_sweep", action="store_true",
                     help="sweep context_s and report amplification / latency "
                          "/ deviation vs the batch fast path")
@@ -68,7 +80,8 @@ def main() -> int:
         total = 0
         for chunk in knn.stream_convert_chunks(
                 wav, REF, chunk_s=args.chunk_s, context_s=args.context_s,
-                post_opt=args.post_opt, matcher=args.matcher):
+                post_opt=args.post_opt, matcher=args.matcher,
+                encoder=args.encoder, cache_s=args.cache_s):
             now = time.perf_counter()
             lat.append(now - t_prev)
             t_prev = now
@@ -116,7 +129,8 @@ def context_sweep(knn, wav, args) -> int:
         t_prev = time.perf_counter()
         for chunk in knn.stream_convert_chunks(
                 wav, REF, chunk_s=args.chunk_s, context_s=ctx,
-                post_opt=args.post_opt, matcher=args.matcher):
+                post_opt=args.post_opt, matcher=args.matcher,
+                encoder=args.encoder, cache_s=args.cache_s):
             now = time.perf_counter()
             lat.append(now - t_prev)
             t_prev = now
@@ -135,7 +149,9 @@ def context_sweep(knn, wav, args) -> int:
         mel_s = np.asarray(log_mel_spectrogram(jnp.asarray(streamed[:n][None])))
         mel_b = np.asarray(log_mel_spectrogram(jnp.asarray(batch[:n][None])))
         mel_l1 = float(np.abs(mel_s - mel_b).mean())
-        amp = (args.chunk_s + 2 * ctx) / args.chunk_s
+        # cached: only chunk + right-context frames are encoded per step
+        amp = ((args.chunk_s + ctx) / args.chunk_s if args.encoder == "cached"
+               else (args.chunk_s + 2 * ctx) / args.chunk_s)
         steady = float(np.median(lat[1:])) if len(lat) > 1 else float("nan")
         p95 = float(np.percentile(lat[1:], 95)) if len(lat) > 1 else float("nan")
         print(f"{ctx:9.2f}  {amp:6.2f}  {steady*1e3:9.0f}  {p95*1e3:6.0f}  "
