@@ -43,6 +43,19 @@ def main():
         n += len(chunk)
     print(f"streamed {n / 16000:.1f} s in 2 s chunks (3 s window latency)")
 
+    # live surface (r4): push-based session — samples arrive incrementally
+    # (mic/socket), converted audio comes back as each chunk becomes final
+    from knnsvc_tpu.io.audio import load_audio, to_mono
+
+    wav = to_mono(load_audio(args.src)[0])[0]
+    sess = knn.stream_session(args.ref, chunk_s=2.0, context_s=1.0)
+    got = 0
+    for piece_start in range(0, len(wav), 4800):  # 0.3 s "mic callbacks"
+        got += len(sess.push(wav[piece_start : piece_start + 4800]))
+    got += len(sess.flush())
+    print(f"live session: pushed {len(wav) / 16000:.1f} s in 0.3 s pieces, "
+          f"got {got / 16000:.1f} s back")
+
 
 if __name__ == "__main__":
     main()

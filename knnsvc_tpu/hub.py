@@ -54,6 +54,301 @@ def scan_checkpoint(ckpt_dir: str, substring: str) -> str | None:
     return sorted(matches)[-1] if matches else None
 
 
+class _StreamRunner:
+    """Incremental chunk-conversion driver shared by stream_convert_chunks
+    (whole waveform known up front) and StreamSession (samples arrive
+    live). Holds ALL cross-chunk state — the encoder's KV cache, the
+    concat-scan carry, the vocoder-tail features, the running register
+    anchor — and converts every chunk that is safely FINAL given the
+    samples received so far: with eof, everything; without, only chunks
+    whose full lookahead (plus the conv receptive-field margin) has
+    arrived, so a chunk's output never depends on when it was pushed."""
+
+    def __init__(self, svc, ref_wav_file, *, F, C, CR, topk, prioritize_f0,
+                 po, matcher, vm, encoder, cache_s):
+        from knnsvc_tpu.match.pool import build_device_pool, load_utterance
+
+        self.svc, self.F, self.C, self.CR, self.vm = svc, F, C, CR, vm
+        self.topk, self.prioritize_f0 = topk, prioritize_f0
+        self.po, self.matcher = po, matcher
+        ref_wav = load_utterance(ref_wav_file, svc.sr)
+        self.ref = build_device_pool(ref_wav, svc.wavlm_params, svc.wavlm_cfg,
+                                     svc.weighting, svc.weighting, svc.sr,
+                                     f0_method="fast",
+                                     audio_path=str(ref_wav_file))
+        self.sharded = None
+        if matcher in ("sharded", "sharded_int8"):
+            from knnsvc_tpu.match.pipeline import _default_pool_mesh
+            from knnsvc_tpu.parallel.sharded_match import shard_speaker_pool
+
+            self.sharded = shard_speaker_pool(
+                self.ref.matching, self.ref.synth, self.ref.f0,
+                self.ref.harmonics, _default_pool_mesh(),
+                quantize_matching=matcher == "sharded_int8")
+        # cross-chunk concat continuity (dense matchers): the concat-cost
+        # scan's carry (previous emitted frame's selections + the sticky
+        # concat-weight latch, ref lib_ongaku_test.py:294-336) threads from
+        # chunk to chunk, so chunk N+1's first frame sees chunk N's
+        # selection — the reference's whole-utterance serial semantics.
+        # The sharded matchers run their fused scan per window (carry not
+        # yet threaded through the shard_map core).
+        self.continuity = (po.concat_weight != -1.0
+                           and matcher in ("exact", "approx"))
+        self.enc_stream = None
+        # samples beyond (g_lo+F+CR)*hop that must exist before a chunk can
+        # be converted as guaranteed-mid-stream in live (eof=False) mode
+        self.finality_slack = 1
+        if encoder == "cached":
+            from knnsvc_tpu.models.wavlm.streaming import (
+                WavLMStreamEncoder, conv_receptive_field)
+            from knnsvc_tpu.utils.layer_weights import one_hot_layer
+
+            hot = one_hot_layer(svc.weighting)
+            if hot is None:
+                raise ValueError("encoder='cached' needs a one-hot layer "
+                                 "weighting (the serving path's case)")
+            cache_frames = max(1, int(round(cache_s * svc.sr)) // HOP_LENGTH)
+            self.enc_stream = WavLMStreamEncoder(
+                svc.wavlm_params, svc.wavlm_cfg, hot,
+                chunk_frames=F, lookahead_frames=CR,
+                cache_frames=cache_frames)
+            self.finality_slack = max(
+                1, conv_receptive_field(svc.wavlm_cfg) - HOP_LENGTH)
+        self.feat_buf = None      # last C FINAL frames' features (device)
+        self.carry = None         # (sel (L, k), sticky weight) at last frame
+        self.tail = None          # (out, harm, global start) prev chunk slice
+        self.voiced = np.zeros(0, np.float32)  # running voiced-f0 history
+        self.chunk_idx = 0
+        self.done = False
+
+    def required_samples(self) -> int:
+        """Absolute sample count needed before the NEXT chunk converts as a
+        guaranteed-mid-stream chunk (full lookahead + encoder margin)."""
+        g_lo = self.chunk_idx * self.F
+        return (g_lo + self.F + self.CR) * HOP_LENGTH + self.finality_slack
+
+    def history_start(self) -> int:
+        """Absolute sample position the next emit still reads from — a live
+        session can discard everything earlier (left-context window)."""
+        return max(0, (self.chunk_idx * self.F - self.C) * HOP_LENGTH)
+
+    def emit(self, buf, start: int, eof: bool):
+        """Convert every currently-final chunk. buf[i] is absolute sample
+        start+i (earlier samples were consumed and may be discarded, but
+        never past history_start()); eof marks the waveform complete,
+        allowing the trailing partial chunks. Yields float32 chunks."""
+        from knnsvc_tpu.dsp.f0 import get_f0
+        from knnsvc_tpu.match.f0_logic import masked_log_median
+        from knnsvc_tpu.match.pool import build_device_pool
+        from knnsvc_tpu.models.wavlm import frame_count
+
+        svc, hop = self.svc, HOP_LENGTH
+        F, C, CR, vm = self.F, self.C, self.CR, self.vm
+        L = start + len(buf)          # absolute samples seen so far
+
+        def seg(a, b):                # absolute slice (b may exceed L)
+            assert a >= start, (a, start)
+            return buf[a - start : max(b - start, 0)]
+
+        while not self.done:
+            g_lo = self.chunk_idx * F
+            if eof:
+                if g_lo * hop >= L:
+                    self.done = True
+                    return
+            elif L < self.required_samples():
+                return
+            w0 = max(0, g_lo - C) * hop
+            w1 = min(L, (g_lo + F + CR) * hop)
+            window = seg(w0, w1)
+            # build_device_pool drops chunks <= MIN_CHUNK_SECONDS*sr (= one
+            # hop at 16 kHz), which would leave an empty feature list
+            if len(window) <= hop:
+                self.done = True
+                return
+            if self.enc_stream is not None:
+                if eof:
+                    # global frame budget under the ref's pad quirk
+                    # (pool.py:299) — the same framing the windowed mode
+                    # derives per window
+                    n_pad = hop - L % hop
+                    total_frames = frame_count(svc.wavlm_cfg, L + n_pad)
+                    frames_this = min(F + CR, total_frames - g_lo)
+                    if frames_this <= 0:
+                        self.done = True
+                        return
+                else:
+                    frames_this = F + CR
+                s0 = g_lo * hop
+                raw = seg(s0, s0 + self.enc_stream.sample_len)
+                raw = np.pad(raw, (0, self.enc_stream.sample_len - len(raw)))
+                feats_new = self.enc_stream.step(raw)[:frames_this]
+                c_lo = min(C, g_lo)
+                q_match = (feats_new if c_lo == 0 else
+                           jnp.concatenate([self.feat_buf[-c_lo:],
+                                            feats_new]))
+                t_local = c_lo + frames_this
+                # f0 over the same window audio/framing as the windowed mode
+                f0_np_full = get_f0(
+                    np.pad(window, (0, hop - len(window) % hop)), svc.sr,
+                    use_sidecar=False, write_sidecar=False, method="fast")
+                q_f0 = jnp.asarray(
+                    np.asarray(f0_np_full[:t_local], np.float32))
+                n_fin = min(F, frames_this)
+                self.feat_buf = (feats_new[:n_fin] if self.feat_buf is None
+                                 else jnp.concatenate(
+                                     [self.feat_buf, feats_new[:n_fin]])
+                                 [-max(C, 1):])
+            else:
+                wpool = build_device_pool(window, svc.wavlm_params,
+                                          svc.wavlm_cfg, svc.weighting,
+                                          svc.weighting, svc.sr,
+                                          f0_method="fast")
+                t_local = int(wpool.matching.shape[0])
+                c_lo = g_lo - w0 // hop
+                q_match, q_f0 = wpool.matching, wpool.f0
+            if c_lo >= t_local:
+                self.done = True
+                return
+            c_hi = min(c_lo + F, t_local)
+            # end-of-input comes from the SAMPLE position, not the encoder's
+            # frame count — the conv frontend trims edge frames, so a short
+            # encode does not mean the waveform ran out (ADVICE r3)
+            last = eof and (g_lo + F) * hop >= L
+            if not last and c_hi < c_lo + F:
+                raise ValueError(
+                    f"streaming window encoded to {t_local} frames, fewer "
+                    f"than the {c_lo + F} needed for a full mid-stream chunk "
+                    f"— increase context_s (>= {2 * hop / svc.sr:.3f}s) so "
+                    f"the encoder's edge trim eats context, not output")
+            # register anchor: running voiced-f0 median (torch-median
+            # semantics via the same jnp helper the core uses)
+            f0_np = np.asarray(q_f0)
+            new_v = f0_np[c_lo:c_hi]
+            self.voiced = np.concatenate([self.voiced, new_v[new_v > 0]])
+            anchor = (float(masked_log_median(jnp.asarray(self.voiced)))
+                      if len(self.voiced) else None)
+            if self.continuity:
+                from knnsvc_tpu.match.pipeline import match_utterance_stream
+
+                out_s, shifted_full, harm_s, carry_at = match_utterance_stream(
+                    q_match, q_f0, self.ref.matching, self.ref.synth,
+                    self.ref.f0, self.ref.harmonics, ckpt_type=svc.ckpt_type,
+                    post_opt=self.po, scan_from=c_lo, carry=self.carry,
+                    topk=self.topk, matcher=self.matcher,
+                    query_f0_log_median=anchor)
+                if not last:
+                    self.carry = carry_at(c_hi)
+                # vocoder warm-up margins: the left margin re-uses the
+                # PREVIOUS chunk's computed features (the ones actually
+                # emitted), the right margin comes from this window's scan
+                v_hi = min(t_local, c_hi + vm)
+                tail = self.tail
+                lm = 0 if tail is None else min(vm, c_lo, g_lo - tail[2])
+                feats_v = out_s[: v_hi - c_lo]
+                harm_v = None if harm_s is None else harm_s[: v_hi - c_lo]
+                if lm > 0:
+                    off = g_lo - lm - tail[2]
+                    feats_v = jnp.concatenate([tail[0][off:off + lm],
+                                               feats_v])
+                    if harm_v is not None:
+                        harm_v = jnp.concatenate(
+                            [tail[1][off:off + lm], harm_v])
+                f0_v = shifted_full[c_lo - lm : v_hi]
+                wav_v = hifigan_vocode(
+                    svc.hifigan_params, svc.h, svc.family, feats_v[None],
+                    f0_v.reshape(1, -1, 1),
+                    None if harm_v is None else harm_v[None])
+                q = _quantize_int16(wav_v[0])
+                chunk_wav = np.asarray(q).astype(np.float32) / 32768.0
+                a = lm * hop
+                yield chunk_wav[a : a + (c_hi - c_lo) * hop]
+                self.tail = (out_s, harm_s, g_lo)
+                if last:
+                    self.done = True
+                    return
+                self.chunk_idx += 1
+                continue
+            feats = match_utterance(
+                q_match, q_f0, self.ref.matching, self.ref.synth, self.ref.f0,
+                self.ref.harmonics, ckpt_type=svc.ckpt_type, post_opt=self.po,
+                topk=self.topk, prioritize_f0=self.prioritize_f0,
+                matcher=self.matcher, sharded=self.sharded, as_numpy=False,
+                query_f0_log_median=anchor)
+            v_lo, v_hi = max(0, c_lo - vm), min(t_local, c_hi + vm)
+            harm = feats.harmonics_out_feats_weighted
+            shifted = feats.shifted_query_f0
+            wav_v = hifigan_vocode(
+                svc.hifigan_params, svc.h, svc.family,
+                feats.out_feats_weighted[None, v_lo:v_hi],
+                None if shifted is None
+                else shifted[v_lo:v_hi].reshape(1, -1, 1),
+                None if harm is None else harm[None, v_lo:v_hi])
+            q = _quantize_int16(wav_v[0])
+            chunk_wav = np.asarray(q).astype(np.float32) / 32768.0
+            a = (c_lo - v_lo) * hop
+            yield chunk_wav[a : a + (c_hi - c_lo) * hop]
+            if last:
+                self.done = True
+                return
+            self.chunk_idx += 1
+
+
+class StreamSession:
+    """Push-based LIVE conversion (no reference analogue — the reference
+    converts whole files, ref ddsp_matcher.py:937-1023): feed waveform
+    samples of ANY size as they arrive (a mic callback, a socket), get
+    converted audio back the moment each chunk_s block becomes final.
+    Created by KnnSvc.stream_session(). All cross-chunk state (encoder KV
+    cache, concat-scan carry, running register anchor, vocoder tail) lives
+    in the session, and consumed history is discarded — memory stays
+    O(chunk + context) no matter how long the stream runs.
+
+        sess = knn.stream_session("target.wav", chunk_s=2.0)
+        out = sess.push(samples)    # float32 audio (possibly empty)
+        ...
+        out = sess.flush()          # converts the trailing partial chunks
+
+    Pushing a whole utterance in arbitrary pieces and flushing yields
+    audio bit-identical to stream_convert_chunks on the same settings
+    (tests/test_streaming.py)."""
+
+    def __init__(self, runner: _StreamRunner, sr: int):
+        self._runner = runner
+        self.sr = sr
+        self._buf = np.zeros(0, np.float32)
+        self._start = 0            # absolute sample index of _buf[0]
+        self._flushed = False
+
+    @property
+    def pending_s(self) -> float:
+        """Seconds received but not yet emitted as converted audio."""
+        emitted = self._runner.chunk_idx * self._runner.F * HOP_LENGTH
+        return max(0.0, (self._start + len(self._buf) - emitted) / self.sr)
+
+    def push(self, samples) -> np.ndarray:
+        """Append samples; convert and return every chunk they finalized."""
+        if self._flushed:
+            raise RuntimeError("stream session already flushed")
+        s = np.asarray(samples, np.float32).reshape(-1)
+        self._buf = np.concatenate([self._buf, s])
+        out = list(self._runner.emit(self._buf, self._start, eof=False))
+        keep = self._runner.history_start()
+        if keep > self._start:
+            self._buf = self._buf[keep - self._start:]
+            self._start = keep
+        return np.concatenate(out) if out else np.zeros(0, np.float32)
+
+    def flush(self) -> np.ndarray:
+        """End of stream: convert the remaining (partial) chunks."""
+        if self._flushed:
+            raise RuntimeError("stream session already flushed")
+        self._flushed = True
+        out = list(self._runner.emit(self._buf, self._start, eof=True))
+        self._buf = np.zeros(0, np.float32)
+        return np.concatenate(out) if out else np.zeros(0, np.float32)
+
+
 class KnnSvc:
     """kNN-SVC conversion engine (ref KNeighborsVC)."""
 
@@ -520,8 +815,7 @@ class KnnSvc:
         src: a path or a 1-D float waveform at self.sr.
         Yields float32 arrays of chunk_s*sr samples (last may be shorter),
         int16-quantized like the fast path."""
-        from knnsvc_tpu.match.f0_logic import masked_log_median
-        from knnsvc_tpu.match.pool import build_device_pool, load_utterance
+        from knnsvc_tpu.match.pool import load_utterance
 
         if matcher not in ("exact", "approx", "sharded", "sharded_int8"):
             raise ValueError(f"streaming supports matcher 'exact', 'approx', "
@@ -546,175 +840,12 @@ class KnnSvc:
         if len(wav) > F * hop:
             C = max(C, 1)
             CR = max(CR, 1)
-        ref_wav = load_utterance(ref_wav_file, self.sr)
-        ref = build_device_pool(ref_wav, self.wavlm_params, self.wavlm_cfg,
-                                self.weighting, self.weighting, self.sr,
-                                f0_method="fast", audio_path=str(ref_wav_file))
-        sharded = None
-        if matcher in ("sharded", "sharded_int8"):
-            from knnsvc_tpu.match.pipeline import _default_pool_mesh
-            from knnsvc_tpu.parallel.sharded_match import shard_speaker_pool
-
-            sharded = shard_speaker_pool(
-                ref.matching, ref.synth, ref.f0, ref.harmonics,
-                _default_pool_mesh(),
-                quantize_matching=matcher == "sharded_int8")
-        po = PostOpt.parse(post_opt)
-        # cross-chunk concat continuity (dense matchers): the concat-cost
-        # scan's carry (previous emitted frame's selections + the sticky
-        # concat-weight latch, ref lib_ongaku_test.py:294-336) threads from
-        # chunk to chunk, so chunk N+1's first frame sees chunk N's
-        # selection — the reference's whole-utterance serial semantics.
-        # The sharded matchers run their fused scan per window (carry not
-        # yet threaded through the shard_map core).
-        continuity = (po.concat_weight != -1.0
-                      and matcher in ("exact", "approx"))
-        enc_stream = None
-        if encoder == "cached":
-            from knnsvc_tpu.dsp.f0 import get_f0
-            from knnsvc_tpu.models.wavlm import frame_count
-            from knnsvc_tpu.models.wavlm.streaming import WavLMStreamEncoder
-            from knnsvc_tpu.utils.layer_weights import one_hot_layer
-
-            hot = one_hot_layer(self.weighting)
-            if hot is None:
-                raise ValueError("encoder='cached' needs a one-hot layer "
-                                 "weighting (the serving path's case)")
-            cache_frames = max(1, int(round(cache_s * self.sr)) // hop)
-            enc_stream = WavLMStreamEncoder(
-                self.wavlm_params, self.wavlm_cfg, hot,
-                chunk_frames=F, lookahead_frames=CR,
-                cache_frames=cache_frames)
-            # global frame budget under the ref's pad quirk (pool.py:299) —
-            # the same framing the windowed mode derives per window
-            n_pad = hop - len(wav) % hop
-            total_frames = frame_count(self.wavlm_cfg, len(wav) + n_pad)
-            feat_buf = None       # last C FINAL frames' features (device)
-        carry = None              # (sel (L, k), sticky weight) at last frame
-        tail = None               # (out, harm, global start) prev chunk slice
-        voiced = np.zeros(0, np.float32)  # running voiced-f0 history
-        chunk_idx = 0
-        while True:
-            g_lo = chunk_idx * F
-            if g_lo * hop >= len(wav):
-                break
-            w0 = max(0, g_lo - C) * hop
-            w1 = min(len(wav), (g_lo + F + CR) * hop)
-            window = wav[w0:w1]
-            # build_device_pool drops chunks <= MIN_CHUNK_SECONDS*sr (= one
-            # hop at 16 kHz), which would leave an empty feature list
-            if len(window) <= hop:
-                break
-            if enc_stream is not None:
-                frames_this = min(F + CR, total_frames - g_lo)
-                if frames_this <= 0:
-                    break
-                s0 = g_lo * hop
-                seg = wav[s0 : s0 + enc_stream.sample_len]
-                seg = np.pad(seg, (0, enc_stream.sample_len - len(seg)))
-                feats_new = enc_stream.step(seg)[:frames_this]
-                c_lo = min(C, g_lo)
-                q_match = (feats_new if c_lo == 0 else
-                           jnp.concatenate([feat_buf[-c_lo:], feats_new]))
-                t_local = c_lo + frames_this
-                # f0 over the same window audio/framing as the windowed mode
-                wa = window
-                f0_np_full = get_f0(
-                    np.pad(wa, (0, hop - len(wa) % hop)), self.sr,
-                    use_sidecar=False, write_sidecar=False, method="fast")
-                q_f0 = jnp.asarray(
-                    np.asarray(f0_np_full[:t_local], np.float32))
-                n_fin = min(F, frames_this)
-                feat_buf = (feats_new[:n_fin] if feat_buf is None else
-                            jnp.concatenate([feat_buf, feats_new[:n_fin]])
-                            [-max(C, 1):])
-            else:
-                wpool = build_device_pool(window, self.wavlm_params,
-                                          self.wavlm_cfg, self.weighting,
-                                          self.weighting, self.sr,
-                                          f0_method="fast")
-                t_local = int(wpool.matching.shape[0])
-                c_lo = g_lo - w0 // hop
-                q_match, q_f0 = wpool.matching, wpool.f0
-            if c_lo >= t_local:
-                break
-            c_hi = min(c_lo + F, t_local)
-            # end-of-input comes from the SAMPLE position, not the encoder's
-            # frame count — the conv frontend trims edge frames, so a short
-            # encode does not mean the waveform ran out (ADVICE r3)
-            last = (g_lo + F) * hop >= len(wav)
-            if not last and c_hi < c_lo + F:
-                raise ValueError(
-                    f"streaming window encoded to {t_local} frames, fewer "
-                    f"than the {c_lo + F} needed for a full mid-stream chunk "
-                    f"— increase context_s (>= {2 * hop / self.sr:.3f}s) so "
-                    f"the encoder's edge trim eats context, not output")
-            # register anchor: running voiced-f0 median (torch-median
-            # semantics via the same jnp helper the core uses)
-            f0_np = np.asarray(q_f0)
-            new_v = f0_np[c_lo:c_hi]
-            voiced = np.concatenate([voiced, new_v[new_v > 0]])
-            anchor = (float(masked_log_median(jnp.asarray(voiced)))
-                      if len(voiced) else None)
-            vm = max(0, int(vocode_margin_frames))
-            if continuity:
-                from knnsvc_tpu.match.pipeline import match_utterance_stream
-
-                out_s, shifted_full, harm_s, carry_at = match_utterance_stream(
-                    q_match, q_f0, ref.matching, ref.synth,
-                    ref.f0, ref.harmonics, ckpt_type=self.ckpt_type,
-                    post_opt=po, scan_from=c_lo, carry=carry, topk=topk,
-                    matcher=matcher, query_f0_log_median=anchor)
-                if not last:
-                    carry = carry_at(c_hi)
-                # vocoder warm-up margins: the left margin re-uses the
-                # PREVIOUS chunk's computed features (the ones actually
-                # emitted), the right margin comes from this window's scan
-                v_hi = min(t_local, c_hi + vm)
-                lm = 0 if tail is None else min(vm, c_lo, g_lo - tail[2])
-                feats_v = out_s[: v_hi - c_lo]
-                harm_v = None if harm_s is None else harm_s[: v_hi - c_lo]
-                if lm > 0:
-                    off = g_lo - lm - tail[2]
-                    feats_v = jnp.concatenate([tail[0][off:off + lm], feats_v])
-                    if harm_v is not None:
-                        harm_v = jnp.concatenate(
-                            [tail[1][off:off + lm], harm_v])
-                f0_v = shifted_full[c_lo - lm : v_hi]
-                wav_v = hifigan_vocode(
-                    self.hifigan_params, self.h, self.family, feats_v[None],
-                    f0_v.reshape(1, -1, 1),
-                    None if harm_v is None else harm_v[None])
-                q = _quantize_int16(wav_v[0])
-                chunk_wav = np.asarray(q).astype(np.float32) / 32768.0
-                a = lm * hop
-                yield chunk_wav[a : a + (c_hi - c_lo) * hop]
-                tail = (out_s, harm_s, g_lo)
-                if last:
-                    break
-                chunk_idx += 1
-                continue
-            feats = match_utterance(
-                q_match, q_f0, ref.matching, ref.synth, ref.f0,
-                ref.harmonics, ckpt_type=self.ckpt_type, post_opt=po,
-                topk=topk, prioritize_f0=prioritize_f0, matcher=matcher,
-                sharded=sharded, as_numpy=False, query_f0_log_median=anchor)
-            v_lo, v_hi = max(0, c_lo - vm), min(t_local, c_hi + vm)
-            harm = feats.harmonics_out_feats_weighted
-            shifted = feats.shifted_query_f0
-            wav_v = hifigan_vocode(
-                self.hifigan_params, self.h, self.family,
-                feats.out_feats_weighted[None, v_lo:v_hi],
-                None if shifted is None
-                else shifted[v_lo:v_hi].reshape(1, -1, 1),
-                None if harm is None else harm[None, v_lo:v_hi])
-            q = _quantize_int16(wav_v[0])
-            chunk_wav = np.asarray(q).astype(np.float32) / 32768.0
-            a = (c_lo - v_lo) * hop
-            yield chunk_wav[a : a + (c_hi - c_lo) * hop]
-            if last:
-                break
-            chunk_idx += 1
+        runner = _StreamRunner(self, ref_wav_file, F=F, C=C, CR=CR,
+                               topk=topk, prioritize_f0=prioritize_f0,
+                               po=PostOpt.parse(post_opt), matcher=matcher,
+                               vm=max(0, int(vocode_margin_frames)),
+                               encoder=encoder, cache_s=cache_s)
+        yield from runner.emit(wav, 0, eof=True)
 
     def stream_convert(self, src_wav_file: str, ref_wav_file: str,
                        output_path: str | None = None,
@@ -734,6 +865,48 @@ class KnnSvc:
                                                     ref_wav_file, "stream")
         save_audio(output_path, pred, self.sr)
         return output_path
+
+    def stream_session(self, ref_wav_file: str, chunk_s: float = 2.0,
+                       context_s: float = 1.0, topk: int = 4,
+                       prioritize_f0: bool = True,
+                       post_opt: str = "no_post_opt",
+                       matcher: str = "approx",
+                       vocode_margin_frames: int = 16,
+                       right_context_s: float | None = None,
+                       encoder: str = "windowed",
+                       cache_s: float = 4.0) -> StreamSession:
+        """Open a push-based LIVE conversion session against ref_wav_file —
+        the input arrives incrementally (a mic callback, a socket) instead
+        of as a file. Each StreamSession.push(samples) converts every chunk
+        whose lookahead became available and returns the audio;
+        .flush() converts the trailing partial chunks. Same per-chunk
+        semantics as stream_convert_chunks: pushing a whole utterance in
+        arbitrary-size pieces and flushing yields BIT-IDENTICAL audio to
+        the file-based stream on the same settings (tests/test_streaming).
+
+        Contexts are clamped to >= 1 frame (a live stream is assumed to
+        span multiple chunks; the file path's single-chunk C=0 case needs
+        the total length, which a session cannot know). encoder='cached'
+        uses the incremental KV-cache encoder — the natural fit here, since
+        a session never re-hears old audio. Session memory is
+        O(context + chunk), not O(stream)."""
+        if matcher not in ("exact", "approx", "sharded", "sharded_int8"):
+            raise ValueError(f"streaming supports matcher 'exact', 'approx', "
+                             f"'sharded' or 'sharded_int8', not {matcher!r}")
+        if encoder not in ("windowed", "cached"):
+            raise ValueError(f"encoder must be 'windowed' or 'cached', "
+                             f"not {encoder!r}")
+        hop = HOP_LENGTH
+        F = max(1, int(round(chunk_s * self.sr)) // hop)
+        C = max(1, int(round(context_s * self.sr)) // hop)
+        CR = C if right_context_s is None else max(
+            1, int(round(right_context_s * self.sr)) // hop)
+        runner = _StreamRunner(self, ref_wav_file, F=F, C=C, CR=CR,
+                               topk=topk, prioritize_f0=prioritize_f0,
+                               po=PostOpt.parse(post_opt), matcher=matcher,
+                               vm=max(0, int(vocode_margin_frames)),
+                               encoder=encoder, cache_s=cache_s)
+        return StreamSession(runner, self.sr)
 
     # ---------------------------------------------------------- fast bulk
 

@@ -317,6 +317,55 @@ def test_cli_streaming(svc_world, tmp_path, monkeypatch):
     assert abs(len(y2) - src_len) <= 320 * 2
 
 
+def test_stream_session_equals_file_stream(svc_world):
+    """Push-based live session == file-based stream, bit-identical: feeding
+    the utterance in irregular-size pieces and flushing must yield exactly
+    the chunks stream_convert_chunks yields (a chunk's output may not
+    depend on when its samples arrived)."""
+    root, knn = svc_world
+    src, ref = str(root / "src_noise.wav"), str(root / "ref.wav")
+    wav = np.asarray(load_audio(src)[0])[0]
+    kw = dict(chunk_s=0.5, context_s=0.25, matcher="exact")
+
+    batch = np.concatenate(list(knn.stream_convert_chunks(src, ref, **kw)))
+
+    sess = knn.stream_session(ref, **kw)
+    rng = np.random.default_rng(11)
+    outs, i = [], 0
+    while i < len(wav):
+        n = int(rng.integers(800, 9000))
+        out = sess.push(wav[i : i + n])
+        assert out.dtype == np.float32
+        outs.append(out)
+        i += n
+    live_mid = np.concatenate(outs)
+    assert len(live_mid) > 0  # mid-stream chunks were emitted incrementally
+    outs.append(sess.flush())
+    live = np.concatenate(outs)
+    np.testing.assert_array_equal(live, batch)
+    # session memory stays bounded: trimmed buffer, not the whole stream
+    assert len(sess._buf) < len(wav)
+    with pytest.raises(RuntimeError):
+        sess.push(wav[:100])
+
+
+def test_stream_session_cached_encoder(svc_world):
+    """Live session through the incremental KV-cache encoder equals the
+    file-based cached stream (and stays bounded-memory)."""
+    root, knn = svc_world
+    src, ref = str(root / "src_sing.wav"), str(root / "ref.wav")
+    wav = np.asarray(load_audio(src)[0])[0]
+    kw = dict(chunk_s=0.3, context_s=0.2, matcher="exact", encoder="cached")
+
+    batch = np.concatenate(list(knn.stream_convert_chunks(src, ref, **kw)))
+
+    sess = knn.stream_session(ref, **kw)
+    outs = [sess.push(piece) for piece in np.array_split(wav, 7)]
+    outs.append(sess.flush())
+    live = np.concatenate(outs)
+    np.testing.assert_array_equal(live, batch)
+
+
 def test_register_anchor_semantics():
     """The property streaming depends on: shifting a CHUNK with the full-
     utterance anchor equals shifting the full utterance and slicing; an
