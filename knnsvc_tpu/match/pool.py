@@ -254,19 +254,56 @@ def _encode_and_spec(wavlm_params, cfg, x, layers: tuple):
     return tuple(outs)
 
 
-@dataclasses.dataclass
+@functools.lru_cache(maxsize=1)
+def _f0_executor():
+    from concurrent.futures import ThreadPoolExecutor
+    return ThreadPoolExecutor(max_workers=1, thread_name_prefix="native-f0")
+
+
 class DevicePool:
     """Device-resident pools for the zero-copy serving path: WavLM features,
     f0 and harmonic amplitudes live in HBM end-to-end; the only host<->device
     traffic per utterance is the waveform upload, the (tiny) native-f0 upload
     and the final converted-waveform download. On tunneled TPU setups the
     transfers + eager dispatches of the host-side SpeakerPool path cost more
-    than the entire compute."""
+    than the entire compute.
 
-    matching: jnp.ndarray   # (T, D)
-    synth: jnp.ndarray      # (T, D)
-    f0: jnp.ndarray         # (T,)
-    harmonics: jnp.ndarray  # (T, 49)
+    `f0`/`harmonics` may be DEFERRED (build_device_pool runs the native f0
+    on a background thread — the ctypes call releases the GIL, so on the
+    single-core serving host the extraction overlaps the encode dispatches
+    and the device flight time instead of sitting on the critical path).
+    First access joins the thread, uploads the f0 and gathers harmonics."""
+
+    def __init__(self, matching, synth, f0=None, harmonics=None, *,
+                 f0_future=None, spec=None, sr: int = SAMPLE_RATE):
+        self.matching = matching   # (T, D)
+        self.synth = synth         # (T, D)
+        self._f0 = f0              # (T,)
+        self._harmonics = harmonics  # (T, 49)
+        self._f0_future = f0_future
+        self._spec = spec
+        self._sr = sr
+
+    def _materialize(self) -> None:
+        f0_np = self._f0_future.result()
+        self._f0_future = None
+        T = self.matching.shape[0]
+        self._f0 = jnp.asarray(np.asarray(f0_np[:T], dtype=np.float32))
+        self._harmonics = harmonic_amplitudes_jax(self._spec, self._f0,
+                                                  self._sr)
+        self._spec = None
+
+    @property
+    def f0(self):
+        if self._f0 is None:
+            self._materialize()
+        return self._f0
+
+    @property
+    def harmonics(self):
+        if self._harmonics is None:
+            self._materialize()
+        return self._harmonics
 
 
 def build_device_pool(
@@ -286,6 +323,17 @@ def build_device_pool(
     s_hot = one_hot_layer(synth_weights)
     assert m_hot is not None and s_hot is not None, "device pool needs one-hot weights"
     layers = sorted({m_hot, s_hot})
+
+    # Kick the native f0 off on the background thread BEFORE the encode
+    # dispatch loop: the C call releases the GIL, so it runs while this
+    # thread uploads chunks / waits on tunnel round trips, and while the
+    # device chews the encode queue. The join happens lazily at first
+    # pool.f0 access (typically the match dispatch, after BOTH pools'
+    # encodes are in flight).
+    f0_future = _f0_executor().submit(
+        get_f0, wav, sr, audio_path=audio_path, method=f0_method,
+        use_sidecar=audio_path is not None,
+        write_sidecar=audio_path is not None)
 
     feats: dict[int, list[jnp.ndarray]] = {l: [] for l in layers}
     specs = []
@@ -326,12 +374,7 @@ def build_device_pool(
     spec = jnp.concatenate(specs, axis=0)
     assert spec.shape[0] == T, (spec.shape, T)
 
-    f0_np = get_f0(wav, sr, audio_path=audio_path, method=f0_method,
-                   use_sidecar=audio_path is not None,
-                   write_sidecar=audio_path is not None)
-    f0 = jnp.asarray(np.asarray(f0_np[:T], dtype=np.float32))
-    harm = harmonic_amplitudes_jax(spec, f0, sr)
-    return DevicePool(matching=matching, synth=synth, f0=f0, harmonics=harm)
+    return DevicePool(matching, synth, f0_future=f0_future, spec=spec, sr=sr)
 
 
 def build_speaker_pool(

@@ -317,7 +317,10 @@ Grid fast_grid() {
   Grid g;
   g.period_ms = 4.0;
   g.channels_per_octave = 12;
-  g.target_fs = 6000.0;
+  // 4 kHz (round 4, was 6 kHz): quality-neutral on the sidecars AND the
+  // tune split (P -0.8pt / w50 +0.5pt / suite flat) and ~16% faster — the
+  // spectrum nfft halves and every band bucket shrinks with it.
+  g.target_fs = 4000.0;
   g.refine_harmonics = 4;
   g.refine_iters = 1;
   g.max_candidates = 8;
