@@ -151,12 +151,14 @@ def _native_available() -> bool:
 # the on-disk contract: when a method's underlying extractor changes, its
 # cache name MUST change too, or stale caches from the old extractor would
 # silently serve the new method's reads ('fast' was DIO through round 3 and
-# cached as _f0_fast.npy; the budget Harvest caches as _f0_hfast.npy, and
-# old DIO caches are simply orphaned — recomputed, never mixed).
+# cached as _f0_fast.npy; the 6 kHz budget Harvest of round 4 cached as
+# _f0_hfast.npy; the 4 kHz 12-channel grid as _f0_hfast4k.npy; the current
+# 4 kHz 8-channel fast_grid caches as _f0_hfast8c.npy — caches from
+# superseded extractors are simply orphaned: recomputed, never mixed).
 _NATIVE_METHODS = {
-    "harvest": ("harvest_f0", "harvest"),   # parity; caches <stem>_f0.npy
-    "fast": ("harvest_fast_f0", "hfast"),   # budget Harvest (serving default)
-    "dio": ("dio_f0", "dio"),               # fastest; lowest recall
+    "harvest": ("harvest_f0", "harvest"),     # parity; caches <stem>_f0.npy
+    "fast": ("harvest_fast_f0", "hfast8c"),   # budget Harvest (serving default)
+    "dio": ("dio_f0", "dio"),                 # fastest; lowest recall
 }
 
 

@@ -46,12 +46,15 @@
 // synthetic suite), winning vectors re-measured through this binary.
 //
 // Round 4 adds a BUDGET mode (worldline_harvest_fast — the serving fast
-// path, replacing DIO there): the same pipeline on a 4 ms internal grid,
-// 12 channels/octave, 6 kHz decimation, 4-harmonic single-iteration
-// refine, with the gate/DP economy re-fit at that grid (fast_track_params).
-// Measured: sidecars P .955 / R .906 / w50 .857 / median 6.0 cents;
-// HELD-OUT suite P .993 / R .9995 / w50 .922 / median 0.67 cents, at
-// ~120-135x realtime on one core — vs DIO's P .897 / R .826 / w50 .830
+// path, replacing DIO there): the same pipeline on a coarse internal grid
+// with a 4-harmonic single-iteration refine and the gate/DP economy
+// re-fit at that grid (fast_track_params). Grid history: 4 ms / 12 ch/oct
+// / 6 kHz (round 4), retuned to 4 kHz (quality-neutral, ~16% faster),
+// then to 8 channels/octave in round 5 (see fast_grid() for the measured
+// deltas). Current operating point (4 ms / 8 ch / 4 kHz), measured on
+// this box: sidecars P .950 / R .899 / w50 .870 / median 3.9 cents;
+// HELD-OUT suite P .995 / R .971 / w50 .937 / median 0.66 cents, at
+// ~160-175x realtime on one core — vs DIO's P .897 / R .826 / w50 .830
 // (sidecars) and R .957 / w50 .908 (held-out) at ~240-430x. DIO remains
 // exposed (method='dio') for latency-critical uses.
 //
@@ -316,7 +319,13 @@ struct Grid {
 Grid fast_grid() {
   Grid g;
   g.period_ms = 4.0;
-  g.channels_per_octave = 12;
+  // 8 channels/octave (round 5, was 12): ~28% faster (fewer band filters +
+  // IFFTs). Measured vs the 12-channel grid — sidecars P +0.3pt / R -1.1pt
+  // / w50 +0.7pt / median 4.16->3.93 cents; HELD-OUT suite P +0.3pt /
+  // R -1.9pt (.990->.971) / w50 +0.2pt / median 0.67->0.66. The recall dip
+  // is the one real cost (coarser channels miss some weak-periodicity
+  // frames); recall still clears DIO's held-out .957 comfortably.
+  g.channels_per_octave = 8;
   // 4 kHz (round 4, was 6 kHz): quality-neutral on the sidecars AND the
   // tune split (P -0.8pt / w50 +0.5pt / suite flat) and ~16% faster — the
   // spectrum nfft halves and every band bucket shrinks with it.
