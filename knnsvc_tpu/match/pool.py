@@ -26,7 +26,9 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 import os
+import threading
 from pathlib import Path
 from typing import Callable, Sequence
 
@@ -189,8 +191,13 @@ def harmonic_amplitudes(spec: np.ndarray, f0: np.ndarray, sr: int = SAMPLE_RATE)
     T, n_bins = spec.shape
     L = n_bins * SPEC_INTERP_FACTOR
 
-    harmonics = f0[:, None] * np.arange(1, N_HARMONICS + 1)[None, :]  # (T, 49) Hz
-    idx = np.round(np.clip(harmonics * 2 * L / sr, a_min=None, a_max=L)).astype(int)
+    # float32 throughout: the bin index must round exactly like the
+    # reference's float32 torch pipeline (an int64 arange would promote to
+    # float64 and flip boundary bins — caught by tests/test_pool_seam.py)
+    harmonics = f0[:, None] * np.arange(1, N_HARMONICS + 1,
+                                        dtype=np.float32)[None, :]  # (T, 49) Hz
+    idx = np.round(np.clip(harmonics * 2 * L / sr, a_min=None,
+                           a_max=L)).astype(int)
 
     # value of torch F.interpolate(mode='linear', align_corners=False) at the
     # 8x grid point g: source position (g + 0.5)/8 - 0.5 between bins
@@ -283,27 +290,50 @@ class DevicePool:
         self._f0_future = f0_future
         self._spec = spec
         self._sr = sr
+        self._lock = threading.Lock()
 
-    def _materialize(self) -> None:
-        f0_np = self._f0_future.result()
-        self._f0_future = None
-        T = self.matching.shape[0]
-        self._f0 = jnp.asarray(np.asarray(f0_np[:T], dtype=np.float32))
-        self._harmonics = harmonic_amplitudes_jax(self._spec, self._f0,
-                                                  self._sr)
-        self._spec = None
+    def _join_f0(self) -> None:
+        # Lock: concurrent first accesses to .f0/.harmonics must not both
+        # run the join; clear the future only after the field is set so a
+        # failure here re-raises the real error on every later access
+        # instead of an AttributeError on None.
+        with self._lock:
+            if self._f0 is not None:
+                return
+            f0_np = np.asarray(self._f0_future.result(), dtype=np.float32)
+            T = self.matching.shape[0]
+            assert len(f0_np) >= T, (
+                f"f0 shorter than pool: len(f0)={len(f0_np)} < T={T} "
+                "(truncated/mismatched sidecar?)")
+            self._f0 = jnp.asarray(f0_np[:T])
+            self._f0_future = None
 
     @property
     def f0(self):
+        # f0-only access does NOT pay the harmonics gather: the source-side
+        # pool of a conversion needs f0 (register shift, vocoder
+        # conditioning) but never its own harmonics.
         if self._f0 is None:
-            self._materialize()
+            self._join_f0()
         return self._f0
 
     @property
     def harmonics(self):
         if self._harmonics is None:
-            self._materialize()
+            self._join_f0()
+            with self._lock:
+                if self._harmonics is None:
+                    self._harmonics = harmonic_amplitudes_jax(
+                        self._spec, self._f0, self._sr)
+                    self._spec = None
         return self._harmonics
+
+    @property
+    def spec(self):
+        """Device-resident linear spectrogram, kept until `harmonics`
+        consumes it (the fused serving program gathers harmonics inline from
+        (spec, f0) instead — see match/serve.py)."""
+        return self._spec
 
 
 def build_device_pool(
@@ -334,6 +364,12 @@ def build_device_pool(
         get_f0, wav, sr, audio_path=audio_path, method=f0_method,
         use_sidecar=audio_path is not None,
         write_sidecar=audio_path is not None)
+    # If the pool's f0 is never accessed, a worker failure would otherwise be
+    # swallowed (future never joined) — at least leave a log line.
+    f0_future.add_done_callback(
+        lambda f: f.cancelled() or f.exception() is None or logging.getLogger(
+            __name__).warning("background f0 extraction failed: %r",
+                              f.exception()))
 
     feats: dict[int, list[jnp.ndarray]] = {l: [] for l in layers}
     specs = []
