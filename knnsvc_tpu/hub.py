@@ -708,8 +708,21 @@ class KnnSvc:
             ref = build_device_pool(ref_wav, self.wavlm_params, self.wavlm_cfg,
                                     self.weighting, self.weighting, self.sr,
                                     f0_method="fast", audio_path=ref_wav_file)
-            sharded = None
-            if matcher in ("sharded", "sharded_int8"):
+            if matcher in ("exact", "approx"):
+                # everything downstream of the f0 join — harmonics gather,
+                # match, vocode, int16 quantize — is ONE dispatch + ONE
+                # download (match/serve.py); semantics identical to the
+                # step-by-step path below (tested)
+                assert prioritize_f0, ("prioritize_f0 is mandatory on the "
+                                       "reference live path (ref :1375)")
+                from knnsvc_tpu.match.serve import convert_pools_fused
+
+                q, _ = convert_pools_fused(
+                    self.hifigan_params, self.h, self.family, self.ckpt_type,
+                    src, ref, PostOpt.parse(post_opt), topk=topk,
+                    matcher=matcher, sr=self.sr)
+                pred = np.asarray(q).astype(np.float32) / 32768.0
+            else:
                 from knnsvc_tpu.match.pipeline import _default_pool_mesh
                 from knnsvc_tpu.parallel.sharded_match import shard_speaker_pool
 
@@ -717,24 +730,24 @@ class KnnSvc:
                     ref.matching, ref.synth, ref.f0, ref.harmonics,
                     mesh if mesh is not None else _default_pool_mesh(),
                     quantize_matching=matcher == "sharded_int8")
-            feats = match_utterance(
-                src.matching, src.f0, ref.matching, ref.synth, ref.f0,
-                ref.harmonics, ckpt_type=self.ckpt_type,
-                post_opt=PostOpt.parse(post_opt), topk=topk,
-                prioritize_f0=prioritize_f0, matcher=matcher,
-                sharded=sharded, as_numpy=False)
-            # device-side int16 quantization halves the waveform download
-            # (the serving bottleneck on tunneled setups); 16-bit depth, the
-            # same as the audible content of the reference's PCM_32 writes
-            harm = feats.harmonics_out_feats_weighted
-            wav = hifigan_vocode(
-                self.hifigan_params, self.h, self.family,
-                feats.out_feats_weighted[None],
-                None if feats.shifted_query_f0 is None
-                else feats.shifted_query_f0.reshape(1, -1, 1),
-                None if harm is None else harm[None])
-            q = _quantize_int16(wav[0])
-            pred = np.asarray(q).astype(np.float32) / 32768.0
+                feats = match_utterance(
+                    src.matching, src.f0, ref.matching, ref.synth, ref.f0,
+                    ref.harmonics, ckpt_type=self.ckpt_type,
+                    post_opt=PostOpt.parse(post_opt), topk=topk,
+                    prioritize_f0=prioritize_f0, matcher=matcher,
+                    sharded=sharded, as_numpy=False)
+                # device-side int16 quantization halves the waveform download
+                # (the serving bottleneck on tunneled setups); 16-bit depth,
+                # the same audible content as the reference's PCM_32 writes
+                harm = feats.harmonics_out_feats_weighted
+                wav = hifigan_vocode(
+                    self.hifigan_params, self.h, self.family,
+                    feats.out_feats_weighted[None],
+                    None if feats.shifted_query_f0 is None
+                    else feats.shifted_query_f0.reshape(1, -1, 1),
+                    None if harm is None else harm[None])
+                q = _quantize_int16(wav[0])
+                pred = np.asarray(q).astype(np.float32) / 32768.0
         else:
             results = self.convert_features(
                 Path(src_wav_file), Path(ref_wav_file), topk=topk,

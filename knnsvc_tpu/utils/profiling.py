@@ -38,12 +38,19 @@ def annotate(name: str):
 
 def force_completion(tree):
     """Force device work to finish by pulling a leaf to host (see
-    memory: axon block_until_ready pitfall)."""
+    memory: axon block_until_ready pitfall). Pulls ONE element, not the
+    whole array — downloading a (T, 1024) pool through the tunnel would
+    time the transfer, not the compute (r5: a full 6 MB pull inflated the
+    pool_build attribution by ~250 ms/stage)."""
     import jax
 
     leaves = jax.tree.leaves(tree)
     if leaves:
-        np.asarray(leaves[-1])
+        leaf = leaves[-1]
+        if hasattr(leaf, "ravel") and getattr(leaf, "size", 0) > 1:
+            np.asarray(leaf.ravel()[:1])
+        else:
+            np.asarray(leaf)
     return tree
 
 

@@ -255,12 +255,9 @@ def test_full_conversion_sharded_writes_wav(tiny_world, tmp_path):
     assert sr == 16000 and np.max(np.abs(y)) <= 1.0 and np.max(np.abs(y)) > 1e-6
 
 
-def test_convert_pair_fast_matches_default(tiny_world, tmp_path):
-    """The device-resident serving path (convert_pair(fast=True)) produces
-    the same waveform as the host-pool path for the exact matcher on a
-    single-utterance pair (same selections, same vocoder inputs; the only
-    difference is where arrays live and which f0 extractor runs — pin f0 via
-    sidecars so that is equal too)."""
+def _fast_vs_default_world(tiny_world):
+    """Shared setup: sidecars make both paths use identical f0, so the only
+    difference between fast=True/False is where arrays live."""
     root, src_dir, tgt_dir, cfg, params, w = tiny_world
     from knnsvc_tpu.config import ModelFamily
     from knnsvc_tpu.dsp.f0 import get_f0, save_f0_sidecar
@@ -269,7 +266,7 @@ def test_convert_pair_fast_matches_default(tiny_world, tmp_path):
     from knnsvc_tpu.models.hifigan import init_generator_params
 
     src, ref = src_dir / "utt1.wav", tgt_dir / "ref1.wav"
-    for p in (src, ref):  # sidecars make both paths use identical f0
+    for p in (src, ref):
         x, sr = load_audio(p)
         save_f0_sidecar(str(p), get_f0(to_mono(x)[0], sr, method="yin"))
 
@@ -277,7 +274,17 @@ def test_convert_pair_fast_matches_default(tiny_world, tmp_path):
     gen = init_generator_params(jax.random.PRNGKey(1), h, ModelFamily.MIX)
     knn = KnnSvc(params, cfg, gen, h, ckpt_type="mix")
     knn.weighting = w
+    return knn, src, ref
 
+
+def test_convert_pair_fast_matches_default(tiny_world, tmp_path):
+    """The device-resident serving path (convert_pair(fast=True), riding the
+    fused one-dispatch program in match/serve.py) produces the same waveform
+    as the host-pool path for the exact matcher on a single-utterance pair
+    (same selections, same vocoder inputs)."""
+    from knnsvc_tpu.io.audio import load_audio
+
+    knn, src, ref = _fast_vs_default_world(tiny_world)
     out_a = knn.convert_pair(str(src), str(ref),
                              output_path=str(tmp_path / "a.wav"))
     out_b = knn.convert_pair(str(src), str(ref), fast=True,
@@ -286,6 +293,24 @@ def test_convert_pair_fast_matches_default(tiny_world, tmp_path):
     yb, _ = load_audio(out_b)
     assert ya.shape == yb.shape
     np.testing.assert_allclose(ya, yb, atol=2e-5)
+
+
+@pytest.mark.slow  # ~20 s of extra compile for the fused post_opt program
+def test_convert_pair_fast_post_opt_matches_default(tiny_world, tmp_path):
+    """post_opt through the fused serving program (match/serve.py: concat
+    reselect + smoothness weights + vocode in ONE dispatch) must match the
+    host-pool path identically too."""
+    from knnsvc_tpu.io.audio import load_audio
+
+    knn, src, ref = _fast_vs_default_world(tiny_world)
+    out_c = knn.convert_pair(str(src), str(ref), post_opt="post_opt_0.2",
+                             output_path=str(tmp_path / "c.wav"))
+    out_d = knn.convert_pair(str(src), str(ref), post_opt="post_opt_0.2",
+                             fast=True, output_path=str(tmp_path / "d.wav"))
+    yc, _ = load_audio(out_c)
+    yd, _ = load_audio(out_d)
+    assert yc.shape == yd.shape
+    np.testing.assert_allclose(yc, yd, atol=2e-5)
 
 
 def test_sharded_post_opt_matches_exact(tiny_world):
@@ -369,6 +394,7 @@ def test_convert_pair_fast_sharded(tiny_world, tmp_path):
     np.testing.assert_allclose(ye, ys, atol=2e-5)
 
 
+@pytest.mark.slow  # 29 s: superseded in the fast tier by the 2-D sharded_int8 variant below
 def test_bulk_convert_fast_sharded(tiny_world, tmp_path):
     """bulk_convert(fast=True, matcher='sharded') writes the same outputs as
     fast+exact (the bulk serving loop composes with the scale path)."""
@@ -491,7 +517,10 @@ def test_match_utterances_batched_2d_sharded_equals_serial(tiny_world):
                                    atol=1e-5)
 
 
-@pytest.mark.parametrize("matcher", ["sharded", "sharded_int8"])
+@pytest.mark.parametrize("matcher", [
+    pytest.param("sharded", marks=pytest.mark.slow),  # int8 covers the fast tier
+    "sharded_int8",
+])
 def test_bulk_convert_fast_2d_batched_matches_serial(tiny_world, tmp_path,
                                                      matcher):
     """bulk_convert(fast=True, data_batch=4, matcher='sharded'|'sharded_int8',
