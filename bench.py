@@ -6,7 +6,7 @@ sample_content pair (30-s slices) — the FULL `get_complete_spk_pool`-
 equivalent pipeline, nothing stubbed:
 
   load/resample -> WavLM encode (source AND target pools) -> linear
-  spectrogram -> native f0 extraction (worldline DIO fast path; no sidecars)
+  spectrogram -> native f0 extraction (budget Harvest; no sidecars)
   -> harmonic-amplitude gather -> kNN match (32 candidates) -> f0 register
   shift + f0-priority re-rank -> [post_opt: concat-cost reselect + Adam
   smoothness weights] -> mix-variant HiFi-GAN vocode with the DDSP harmonic
@@ -14,34 +14,44 @@ equivalent pipeline, nothing stubbed:
 
 Random full-size weights (throughput is weight-independent). Three configs:
 
-  fast      bf16 MXU + approx top-k + DIO f0, no_post_opt      -> headline
+  fast      bf16 MXU + approx top-k + budget-Harvest f0, no_post_opt -> headline
   post_opt  same device settings, post_opt_0.2 (OPT+CAT paper config)
   parity    fp32 HIGHEST + exact top-k (the <=1e-3 waveform config); runs
             by default after the headline JSON (set KNNSVC_BENCH_SKIP_PARITY=1
             to skip its minutes of compile)
 
-Outage resilience (VERDICT r3: a 5h tunnel outage zeroed round 3's record):
-- the TPU reachability probe RETRIES across a window
-  (KNNSVC_BENCH_PROBE_BUDGET_S, default 600 s) instead of one-shot;
-- each config runs in its OWN subprocess with a hard timeout and one retry,
-  re-probing between configs — a mid-run blip costs one config, not the
-  whole record, and the headline JSON is emitted the moment `fast` lands.
+Self-diagnosis (VERDICT r4 #1: two rounds of silent timeout kills):
+- the probe measures tunnel health (first-contact seconds, warm RTT, 1 MB
+  round trip) and those numbers ride in the final JSON;
+- the child prints HEARTBEAT marks (`# [hb] ...`) at every phase and a
+  liveness line every 60 s, so a kill always leaves a trace naming the
+  phase it died in;
+- an in-child WATCHDOG aborts the config BEFORE the parent's hard timeout,
+  emitting `DIAG {json}` naming the phase and its elapsed time — the parent
+  folds that into the record instead of a bare rc=124;
+- reps are adaptive (stop when the min is stable, bounded wall budget), the
+  attribution pass is skipped when the deadline is near, and a timed-out
+  30-s `fast` is retried at 10 s audio.
 
-Per config, stderr carries a per-stage wall-clock split AND an MFU table
-(analytic matmul/conv FLOPs over measured stage time as %-of-peak — see
-utils/flops.py; peak via KNNSVC_TPU_PEAK_TFLOPS, default 197 = v5e bf16).
+Outage resilience (VERDICT r3): probe retries across a window
+(KNNSVC_BENCH_PROBE_BUDGET_S, default 600 s); each config runs in its OWN
+subprocess with a hard timeout and one retry, re-probing between configs.
+
+The headline JSON line (stdout) carries the fast config's stage split and
+MFU table (analytic matmul/conv FLOPs / measured stage seconds / peak —
+utils/flops.py; peak via KNNSVC_TPU_PEAK_TFLOPS, default 197 = v5e bf16);
+after all configs a FINAL superseding JSON line adds post_opt/parity.
 
 Timing note: this box reaches the TPU through a slow network tunnel, so
 device completion is forced with small host transfers (block_until_ready
 does not block here; pulling big arrays would time the tunnel).
-
-Prints ONE JSON line; vs_baseline is against the BASELINE.json 50x target.
 """
 
 import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 SR, HOP = 16000, 320
@@ -57,10 +67,55 @@ CONFIGS = {
     "parity": ("highest", "exact", "no_post_opt"),
 }
 
+# ---------------------------------------------------------------------------
+# child-side heartbeat + watchdog
+
+_HB = {"mark": "start", "t": time.time(), "t0": time.time(), "budget": None}
+
+
+def _mark(name: str, budget_s: float | None = None) -> None:
+    """Heartbeat: record + print the current phase. A timeout kill now
+    always leaves the phase name and its start offset in the stderr tail."""
+    now = time.time()
+    print(f"# [hb] +{now - _HB['t0']:.0f}s {name}", file=sys.stderr, flush=True)
+    _HB["mark"], _HB["t"], _HB["budget"] = name, now, budget_s
+
+
+def _start_watchdog(soft_deadline: float, config: str) -> None:
+    """Abort the child with a parsable DIAG line BEFORE the parent's hard
+    timeout: a killed config must name the phase it died in (VERDICT r4 #1)."""
+
+    def run() -> None:
+        last_liveness = 0.0
+        while True:
+            time.sleep(5.0)
+            now = time.time()
+            in_mark = now - _HB["t"]
+            if now - last_liveness > 60.0:
+                print(f"# [hb] still in '{_HB['mark']}' (+{in_mark:.0f}s)",
+                      file=sys.stderr, flush=True)
+                last_liveness = now
+            over = None
+            if _HB["budget"] is not None and in_mark > _HB["budget"]:
+                over = (f"phase '{_HB['mark']}' exceeded its "
+                        f"{_HB['budget']:.0f}s budget")
+            elif now > soft_deadline:
+                over = (f"soft deadline reached in phase '{_HB['mark']}' "
+                        f"({in_mark:.0f}s into it)")
+            if over is not None:
+                diag = {"config": config, "error": over,
+                        "phase": _HB["mark"], "phase_s": round(in_mark, 1),
+                        "elapsed_s": round(now - _HB["t0"], 1)}
+                print("DIAG " + json.dumps(diag), flush=True)
+                print(f"# {config}: {over}", file=sys.stderr, flush=True)
+                os._exit(3)
+
+    threading.Thread(target=run, daemon=True, name="bench-watchdog").start()
+
 
 def _prep_slices(tmp_dir: str) -> tuple[str, str]:
-    """Write 30-s slices of the sample pair (no f0 sidecars next to them, so
-    the timed path runs the native extractor like a cold production request)."""
+    """Write SECONDS-long slices of the sample pair (no f0 sidecars next to
+    them, so the timed path runs the native extractor like a cold request)."""
     from knnsvc_tpu.io.audio import load_audio, save_audio, to_mono
 
     paths = []
@@ -74,7 +129,7 @@ def _prep_slices(tmp_dir: str) -> tuple[str, str]:
 
 
 def run_config(name: str, precision: str, matcher: str, post_opt: str,
-               src_path: str, ref_path: str):
+               src_path: str, ref_path: str, soft_deadline: float) -> dict:
     import numpy as np
     import jax.numpy as jnp
     import jax
@@ -94,6 +149,12 @@ def run_config(name: str, precision: str, matcher: str, post_opt: str,
     set_precision(precision)
     jax.clear_caches()
 
+    _mark("device first contact", budget_s=float(
+        os.environ.get("KNNSVC_BENCH_CONTACT_BUDGET_S", "300")))
+    dev = jax.devices()[0]
+    print(f"# device={dev}", file=sys.stderr, flush=True)
+
+    _mark("params init (on device)")
     wavlm_cfg = WavLMConfig()
     h = HiFiGANConfig()
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
@@ -111,17 +172,25 @@ def run_config(name: str, precision: str, matcher: str, post_opt: str,
         with timer.stage("pool_build"):
             pool = build_device_pool(wav, wavlm_params, wavlm_cfg,
                                      weights, weights, SR, f0_method="fast")
-            timer.observe(pool.harmonics)
+            # observe the ENCODE output, not pool.harmonics: harmonics is
+            # lazy (joins the background f0) and must stay off the
+            # pool-build critical path — the join belongs to the match
+            # dispatch (VERDICT r4 weak #3)
+            timer.observe(pool.matching)
         return pool
 
-    def convert_once(timer: StageTimer):
+    def convert_once(timer: StageTimer, mark=lambda s: None):
+        mark("pool build: src")
         src = build_pool(timer, src_path)
+        mark("pool build: ref")
         ref = build_pool(timer, ref_path)
+        mark("match (joins background f0)")
         with timer.stage("match"):
             feats = match_utterance(
                 src.matching, src.f0, ref.matching, ref.synth, ref.f0,
                 ref.harmonics, ckpt_type="mix", post_opt=popt,
                 matcher=matcher, as_numpy=False)
+        mark("vocode + waveform download")
         with timer.stage("vocode+download"):
             wav = vocode(gen_params, h, ModelFamily.MIX,
                          feats.out_feats_weighted[None],
@@ -132,105 +201,169 @@ def run_config(name: str, precision: str, matcher: str, post_opt: str,
             wav = np.asarray(q).astype(np.float32) / 32768.0
         return wav, src, ref
 
+    # --- compile + first run (the phase that died silently in r4) ---------
+    compile_budget = float(os.environ.get("KNNSVC_BENCH_COMPILE_BUDGET_S",
+                                          "900"))
+    _HB["budget"] = compile_budget
     t0 = time.time()
-    wav, _, _ = convert_once(StageTimer())
-    print(f"# {name}: compiled+first-run in {time.time()-t0:.1f}s",
+    wav, _, _ = convert_once(
+        StageTimer(),
+        mark=lambda s: _mark(f"compile+first-run: {s}", budget_s=compile_budget))
+    compiled_s = time.time() - t0
+    print(f"# {name}: compiled+first-run in {compiled_s:.1f}s",
           file=sys.stderr, flush=True)
 
-    # attribution pass: per-stage wall clock with device sync at stage exits
-    timer = StageTimer()
-    _, src_pool, ref_pool = convert_once(timer)
-    print("# stage split (1 synchronized run):", file=sys.stderr)
-    for line in timer.report().splitlines():
-        print(f"#   {line}", file=sys.stderr)
+    out: dict = {"config": name, "compiled_s": round(compiled_s, 1),
+                 "stage_split": None, "mfu": None}
 
-    # ---- MFU accounting (VERDICT r3 #5): analytic matmul/conv FLOPs over
-    # the synchronized stage times as %-of-peak. Stage bundles are labeled
-    # by what the measured window actually contains.
-    from knnsvc_tpu.utils.flops import (conv_frontend_flops, format_mfu_table,
-                                        hifigan_flops, match_flops,
-                                        wavlm_encoder_flops)
+    # --- attribution pass: per-stage wall clock with device sync ----------
+    # skipped when the deadline is near — the headline reps matter more
+    if soft_deadline - time.time() > 180.0:
+        _mark("attribution pass (synchronized)")
+        timer = StageTimer()
+        _, src_pool, ref_pool = convert_once(timer)
+        print("# stage split (1 synchronized run):", file=sys.stderr)
+        for line in timer.report().splitlines():
+            print(f"#   {line}", file=sys.stderr)
+        out["stage_split"] = {k: round(v, 4) for k, v in timer.totals.items()}
 
-    n_layers = one_hot_layer(weights)
-    t_src = int(src_pool.matching.shape[0])
-    t_ref = int(ref_pool.matching.shape[0])
-    enc_flops = 0
-    for t_frames in (t_src, t_ref):
-        cf, _ = conv_frontend_flops(wavlm_cfg.conv_feature_layers,
-                                    SECONDS * SR)
-        enc_flops += cf + wavlm_encoder_flops(
-            wavlm_cfg.encoder_embed_dim, wavlm_cfg.encoder_ffn_embed_dim,
-            n_layers, t_frames, wavlm_cfg.conv_pos, wavlm_cfg.conv_pos_groups)
-    m_flops = match_flops(t_src, t_ref, src_pool.matching.shape[1],
-                          concat=popt.concat_weight != -1.0)
-    v_flops = hifigan_flops(h, t_src, family="mix")
-    peak = float(os.environ.get("KNNSVC_TPU_PEAK_TFLOPS", "197"))
-    rows = [
-        ("encode+f0 (x2)", enc_flops, timer.totals["pool_build"]),
-        ("match", m_flops, timer.totals["match"]),
-        ("vocode+download", v_flops, timer.totals["vocode+download"]),
-    ]
-    print(f"# MFU vs {peak:.0f} TFLOP/s peak (bf16; fp32-HIGHEST configs run"
-          f" multi-pass, so their true ceiling is ~6x lower):",
-          file=sys.stderr)
-    for line in format_mfu_table(rows, peak).splitlines():
-        print(f"#   {line}", file=sys.stderr)
+        # MFU: analytic matmul/conv FLOPs over the synchronized stage times
+        from knnsvc_tpu.utils.flops import (conv_frontend_flops,
+                                            format_mfu_table, hifigan_flops,
+                                            match_flops, wavlm_encoder_flops)
 
-    # headline pass: NO intermediate syncs — device work is dispatched
-    # asynchronously, so the native f0 (host CPU) overlaps the WavLM/spec
-    # compute in flight, and the single sync is the waveform download the
-    # production path needs anyway
-    times = []
-    reps = int(os.environ.get("KNNSVC_BENCH_REPS", "12"))
-    for _ in range(reps):  # min-of-12: the shared tunnel/chip shows ~40% swings
+        n_layers = one_hot_layer(weights)
+        t_src = int(src_pool.matching.shape[0])
+        t_ref = int(ref_pool.matching.shape[0])
+        enc_flops = 0
+        for t_frames in (t_src, t_ref):
+            cf, _ = conv_frontend_flops(wavlm_cfg.conv_feature_layers,
+                                        SECONDS * SR)
+            enc_flops += cf + wavlm_encoder_flops(
+                wavlm_cfg.encoder_embed_dim, wavlm_cfg.encoder_ffn_embed_dim,
+                n_layers, t_frames, wavlm_cfg.conv_pos,
+                wavlm_cfg.conv_pos_groups)
+        m_flops = match_flops(t_src, t_ref, src_pool.matching.shape[1],
+                              concat=popt.concat_weight != -1.0)
+        v_flops = hifigan_flops(h, t_src, family="mix")
+        peak = float(os.environ.get("KNNSVC_TPU_PEAK_TFLOPS", "197"))
+        rows = [
+            ("encode+f0 (x2)", enc_flops, timer.totals["pool_build"]),
+            ("match", m_flops, timer.totals["match"]),
+            ("vocode+download", v_flops, timer.totals["vocode+download"]),
+        ]
+        print(f"# MFU vs {peak:.0f} TFLOP/s peak (bf16; fp32-HIGHEST configs"
+              f" run multi-pass, so their true ceiling is ~6x lower):",
+              file=sys.stderr)
+        for line in format_mfu_table(rows, peak).splitlines():
+            print(f"#   {line}", file=sys.stderr)
+        out["mfu"] = [
+            {"stage": s, "gflop": round(f / 1e9, 1), "ms": round(t * 1e3, 1),
+             "pct_peak": round(f / max(t, 1e-9) / (peak * 1e12) * 100, 1)}
+            for s, f, t in rows]
+    else:
+        print(f"# {name}: skipping attribution pass "
+              f"({soft_deadline - time.time():.0f}s to deadline)",
+              file=sys.stderr, flush=True)
+
+    # --- headline reps: NO intermediate syncs; adaptive stop ---------------
+    # device work is dispatched asynchronously, so the native f0 (host CPU)
+    # overlaps the WavLM/spec compute in flight, and the single sync is the
+    # waveform download the production path needs anyway
+    reps_max = int(os.environ.get("KNNSVC_BENCH_REPS", "12"))
+    rep_budget = float(os.environ.get("KNNSVC_BENCH_REP_BUDGET_S", "240"))
+    _mark("headline reps", budget_s=rep_budget + 120.0)
+    times: list[float] = []
+    t_reps = time.time()
+    while len(times) < reps_max:
         t0 = time.time()
         wav, _, _ = convert_once(StageTimer(sync=False))
         times.append(time.time() - t0)
+        best_idx = times.index(min(times))
+        # stable: the best hasn't improved over the last 3 reps (>=5 total)
+        if len(times) >= 5 and len(times) - 1 - best_idx >= 3:
+            break
+        if time.time() - t_reps > rep_budget:
+            print(f"# {name}: rep budget exhausted after {len(times)} reps",
+                  file=sys.stderr, flush=True)
+            break
+        if time.time() > soft_deadline - 60.0:
+            break
     audio_sec = wav.shape[-1] / SR
     rtf = audio_sec / min(times)
     ts = sorted(times)
     print(f"# {name}: {min(times)*1000:.0f}ms / {audio_sec:.1f}s audio = "
-          f"{rtf:.1f}x RT (pipelined)", file=sys.stderr)
+          f"{rtf:.1f}x RT (pipelined, {len(times)} reps)", file=sys.stderr)
     # per-run spread: a congested-tunnel number should be self-diagnosing
     # (median >> min means the box was busy, not the code slow)
     print(f"# {name}: run spread ms min/med/max = {ts[0]*1000:.0f}/"
           f"{ts[len(ts)//2]*1000:.0f}/{ts[-1]*1000:.0f}  "
           f"all={[round(t*1000) for t in times]}", file=sys.stderr)
     sys.stderr.flush()
-    return rtf
+    out.update({"rtf": round(rtf, 1), "audio_sec": audio_sec,
+                "reps": len(times),
+                "times_ms": [round(t * 1000) for t in times]})
+    return out
 
 
 def _child_main(name: str) -> int:
     """Run ONE config end to end and print 'RESULT {json}' on stdout."""
     import tempfile
 
+    soft_deadline = _HB["t0"] + float(
+        os.environ.get("KNNSVC_BENCH_SOFT_DEADLINE_S", "1380"))
+    _start_watchdog(soft_deadline, name)
     precision, matcher, post_opt = CONFIGS[name]
+    _mark("prep: slicing sample audio")
     with tempfile.TemporaryDirectory() as td:
         src_path, ref_path = _prep_slices(td)
-        rtf = run_config(name, precision, matcher, post_opt,
-                         src_path, ref_path)
-    print(f"RESULT {json.dumps({'config': name, 'rtf': round(rtf, 1)})}",
-          flush=True)
+        out = run_config(name, precision, matcher, post_opt,
+                         src_path, ref_path, soft_deadline)
+    print(f"RESULT {json.dumps(out)}", flush=True)
     return 0
 
 
-def _probe_once(timeout_s: float) -> str | None:
-    """Bounded TPU reachability check. jax.devices() through a dead axon
-    tunnel hangs indefinitely (observed: multi-hour outages) — probe in a
-    subprocess with a timeout and return the error string instead."""
+def _probe_once(timeout_s: float) -> tuple[str | None, dict]:
+    """Bounded TPU reachability + tunnel-health check. jax.devices() through
+    a dead axon tunnel hangs indefinitely (observed: multi-hour outages) —
+    probe in a subprocess with a timeout. Returns (error, tunnel_info):
+    first-contact seconds, warm small-dispatch RTT, 1 MB round trip."""
+    code = (
+        "import time,json,numpy as np\n"
+        "t0=time.time()\n"
+        "import jax,jax.numpy as jnp\n"
+        "d=jax.devices()[0]\n"
+        "contact=time.time()-t0\n"
+        "f=jax.jit(lambda x:x+1); x=jnp.ones((8,8)); np.asarray(f(x))\n"
+        "ts=[]\n"
+        "for _ in range(3):\n"
+        "  t0=time.time(); np.asarray(f(x)); ts.append(time.time()-t0)\n"
+        "a=np.ones((262144,),np.float32)\n"
+        "t0=time.time(); b=jax.device_put(a); _=np.asarray(b)\n"
+        "mb=time.time()-t0\n"
+        "print('PROBE '+json.dumps({'device':str(d),"
+        "'first_contact_s':round(contact,1),"
+        "'rtt_ms':round(min(ts)*1000,1),'mb_roundtrip_ms':round(mb*1000,1)}))\n"
+    )
     try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; print(jax.devices()[0])"],
-            capture_output=True, text=True, timeout=timeout_s)
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=timeout_s)
     except subprocess.TimeoutExpired:
-        return f"device probe timed out after {timeout_s:.0f}s (tunnel down?)"
+        return f"device probe timed out after {timeout_s:.0f}s (tunnel down?)", {}
     if r.returncode != 0:
-        return f"device probe failed: {r.stderr.strip()[-300:]}"
-    return None
+        return f"device probe failed: {r.stderr.strip()[-300:]}", {}
+    for line in (r.stdout or "").splitlines():
+        if line.startswith("PROBE "):
+            info = json.loads(line[len("PROBE "):])
+            print(f"# tunnel: first_contact={info['first_contact_s']}s "
+                  f"rtt={info['rtt_ms']}ms 1MB={info['mb_roundtrip_ms']}ms",
+                  file=sys.stderr, flush=True)
+            return None, info
+    return None, {}
 
 
-def _probe_with_retries(budget_s: float, probe_timeout_s: float = 120.0,
-                        retry_sleep_s: float = 20.0) -> str | None:
+def _probe_with_retries(budget_s: float, probe_timeout_s: float = 180.0,
+                        retry_sleep_s: float = 20.0) -> tuple[str | None, dict]:
     """Probe repeatedly until success or the budget runs out — a transient
     tunnel blip must not zero a whole round's record (VERDICT r3 #1)."""
     deadline = time.time() + budget_s
@@ -240,34 +373,53 @@ def _probe_with_retries(budget_s: float, probe_timeout_s: float = 120.0,
         left = deadline - time.time()
         if left <= 0:
             return (f"device unreachable after {attempt - 1} probes over "
-                    f"{budget_s:.0f}s (tunnel down)")
-        err = _probe_once(min(probe_timeout_s, max(left, 10.0)))
+                    f"{budget_s:.0f}s (tunnel down)"), {}
+        err, info = _probe_once(min(probe_timeout_s, max(left, 10.0)))
         if err is None:
-            return None
+            return None, info
         print(f"# probe {attempt}: {err} — "
               f"{max(deadline - time.time(), 0):.0f}s of budget left",
               file=sys.stderr, flush=True)
         if time.time() + retry_sleep_s >= deadline:
             return (f"device unreachable after {attempt} probes over "
-                    f"{budget_s:.0f}s (tunnel down)")
+                    f"{budget_s:.0f}s (tunnel down)"), {}
         time.sleep(retry_sleep_s)
 
 
-def _run_config_subprocess(name: str, timeout_s: float) -> float | None:
+def _run_config_subprocess(name: str, timeout_s: float,
+                           seconds: int | None = None) -> dict | None:
     """Run one config in a child process (stderr passes through); returns
-    the RTF or None. A hung/dead child costs this config only."""
+    the child's RESULT dict, a DIAG dict {'error': ...}, or None. A
+    hung/dead child costs this config only."""
     cmd = [sys.executable, os.path.abspath(__file__), "--config", name]
+    env = dict(os.environ)
+    env["KNNSVC_BENCH_SOFT_DEADLINE_S"] = str(max(timeout_s - 90.0, 120.0))
+    if seconds is not None:
+        env["KNNSVC_BENCH_SECONDS"] = str(seconds)
+    stdout = ""
     try:
         r = subprocess.run(cmd, stdout=subprocess.PIPE, text=True,
-                           timeout=timeout_s)
-    except subprocess.TimeoutExpired:
+                           timeout=timeout_s, env=env)
+        stdout = r.stdout or ""
+    except subprocess.TimeoutExpired as e:
+        # the watchdog should have fired first; if the hard kill still hit,
+        # salvage whatever the child printed
+        stdout = e.stdout.decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
         print(f"# config {name}: killed after {timeout_s:.0f}s",
               file=sys.stderr, flush=True)
-        return None
-    for line in (r.stdout or "").splitlines():
+    result = diag = None
+    for line in stdout.splitlines():
         if line.startswith("RESULT "):
-            return float(json.loads(line[len("RESULT "):])["rtf"])
-    print(f"# config {name}: exited {r.returncode} without a RESULT line",
+            result = json.loads(line[len("RESULT "):])
+        elif line.startswith("DIAG "):
+            diag = json.loads(line[len("DIAG "):])
+    if result is not None:
+        if seconds is not None:
+            result["seconds"] = seconds
+        return result
+    if diag is not None:
+        return diag
+    print(f"# config {name}: no RESULT/DIAG line",
           file=sys.stderr, flush=True)
     return None
 
@@ -277,7 +429,7 @@ def main() -> int:
         return _child_main(sys.argv[2])
 
     budget = float(os.environ.get("KNNSVC_BENCH_PROBE_BUDGET_S", "600"))
-    err = _probe_with_retries(budget)
+    err, tunnel = _probe_with_retries(budget)
     if err is not None:
         # one honest JSON line the driver can record + diagnose, instead of
         # an indefinite hang with no BENCH output at all
@@ -299,39 +451,76 @@ def main() -> int:
         # it every run (the env var opts out for quick iterations)
         names.append("parity")
 
-    results: dict[str, float] = {}
+    results: dict[str, dict] = {}
     for i, name in enumerate(names):
         if i > 0:
             # re-probe between configs: a mid-run outage salvages the
             # configs already measured instead of hanging the rest
-            err = _probe_with_retries(min(budget, 240.0))
+            err, _ = _probe_with_retries(min(budget, 240.0))
             if err is not None:
                 print(f"# stopping after {list(results)}: {err}",
                       file=sys.stderr, flush=True)
                 break
-        rtf = _run_config_subprocess(name, config_timeout)
-        if rtf is None and _probe_with_retries(min(budget, 240.0)) is None:
-            rtf = _run_config_subprocess(name, config_timeout)  # one retry
-        if rtf is not None:
-            results[name] = rtf
+        out = _run_config_subprocess(name, config_timeout)
+        if (out is None or "rtf" not in out):
+            diag = out  # keep the first failure's diagnosis
+            err, _ = _probe_with_retries(min(budget, 240.0))
+            if err is None:
+                if name == "fast":
+                    # a 30-s fast config that died gets one cheaper shot:
+                    # 10-s audio compiles the same programs on smaller shapes
+                    print("# fast: retrying at 10-s audio",
+                          file=sys.stderr, flush=True)
+                    out = _run_config_subprocess(name, config_timeout,
+                                                 seconds=10)
+                else:
+                    out = _run_config_subprocess(name, config_timeout)
+            if out is None or "rtf" not in out:
+                out = out or diag  # prefer the latest diagnosis
+        if out is not None:
+            results[name] = out
         if name == "fast":
             # emit the headline immediately — later configs are
             # informational and add minutes of compile the driver may not
             # wait for
+            fast = results.get("fast", {})
             payload = {
                 "metric": "end_to_end_conversion_rtf",
-                "value": results.get("fast", 0.0),
+                "value": fast.get("rtf", 0.0),
                 "unit": "audio_sec/sec/chip",
-                "vs_baseline": round(results.get("fast", 0.0) / 50.0, 3),
+                "vs_baseline": round(fast.get("rtf", 0.0) / 50.0, 3),
+                "tunnel": tunnel,
+                "fast": fast or None,
             }
-            if "fast" not in results:
-                payload["error"] = "fast config failed twice with the device reachable"
+            if "rtf" not in fast:
+                payload["error"] = fast.get(
+                    "error", "fast config failed twice with the device reachable")
             print(json.dumps(payload), flush=True)
+            if "rtf" not in fast:
+                # without a headline the rest is moot; stop burning the
+                # driver's window on post_opt/parity compiles
+                break
     for name in ("post_opt", "parity"):
-        if name in results:
-            print(f"# {name} RTF: {results[name]:.1f}x RT (target >=50x)",
-                  file=sys.stderr, flush=True)
-    return 0 if "fast" in results else 1
+        if name in results and "rtf" in results[name]:
+            print(f"# {name} RTF: {results[name]['rtf']:.1f}x RT "
+                  f"(target >=50x)", file=sys.stderr, flush=True)
+    ok = "fast" in results and "rtf" in results["fast"]
+    if ok and len(results) > 1:
+        # FINAL superseding record with every config (drivers that parse the
+        # last JSON line get the complete payload; the earlier line is the
+        # kill-safe fallback)
+        fast = results["fast"]
+        print(json.dumps({
+            "metric": "end_to_end_conversion_rtf",
+            "value": fast.get("rtf", 0.0),
+            "unit": "audio_sec/sec/chip",
+            "vs_baseline": round(fast.get("rtf", 0.0) / 50.0, 3),
+            "tunnel": tunnel,
+            "fast": fast,
+            "post_opt": results.get("post_opt"),
+            "parity": results.get("parity"),
+        }), flush=True)
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
