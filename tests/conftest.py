@@ -41,6 +41,7 @@ SLOW_MODULES = {
     "test_training",
     "test_train_loop",
     "test_pipeline_parity",
+    "test_pool_seam",
 }
 
 

@@ -10,6 +10,8 @@ import jax
 import jax.numpy as jnp
 
 
+@pytest.mark.slow  # 54 s: full-size WavLM+HiFiGAN compile (coverage: the
+# fast tier drives the same hub wiring via test_pipeline's tiny models)
 def test_legacy_match_api():
     """hub.match(): classic knn-vc query/matching_set conversion."""
     from knnsvc_tpu.config import HiFiGANConfig, WavLMConfig
@@ -208,6 +210,7 @@ def test_vocode_guards_for_missing_inputs():
         knn_f0.vocode(np.zeros((5, 1024), np.float32))
 
 
+@pytest.mark.slow  # 54 s: compiles full-size programs just to read XLA cost analysis
 def test_analytic_flops_match_xla_cost_analysis():
     """The MFU accounting's analytic counters (utils/flops.py) must track
     XLA's own post-optimization flop estimate: conv/matmul terms dominate

@@ -138,6 +138,7 @@ def test_stream_zero_context_yields_complete_audio(svc_world):
     assert abs(total - n_src) <= 320 * 2
 
 
+@pytest.mark.slow  # 41 s: context-sweep recompiles; streaming wiring is covered by the other stream tests
 def test_stream_asymmetric_context(svc_world, tmp_path):
     """right_context_s decouples LOOKAHEAD from lookback (r4): a long left
     context with minimal right context keeps the stream complete, and with
