@@ -14,11 +14,13 @@ equivalent pipeline, nothing stubbed:
 
 Random full-size weights (throughput is weight-independent). Three configs:
 
-  fast      bf16 MXU + approx top-k + budget-Harvest f0, no_post_opt -> headline
+  fast      bf16 MXU + approx top-k + budget-Harvest f0 + int16 waveform
+            up/downloads, no_post_opt, the fused one-dispatch serving path
+            (match/serve.py — exactly hub convert_pair(fast=True)) -> headline
   post_opt  same device settings, post_opt_0.2 (OPT+CAT paper config)
-  parity    fp32 HIGHEST + exact top-k (the <=1e-3 waveform config); runs
-            by default after the headline JSON (set KNNSVC_BENCH_SKIP_PARITY=1
-            to skip its minutes of compile)
+  parity    fp32 HIGHEST + exact top-k + float32 uploads (the <=1e-3 waveform
+            config); runs by default after the headline JSON (set
+            KNNSVC_BENCH_SKIP_PARITY=1 to skip its minutes of compile)
 
 Self-diagnosis (VERDICT r4 #1: two rounds of silent timeout kills):
 - the probe measures tunnel health (first-contact seconds, warm RTT, 1 MB
@@ -131,21 +133,25 @@ def _prep_slices(tmp_dir: str) -> tuple[str, str]:
 def run_config(name: str, precision: str, matcher: str, post_opt: str,
                src_path: str, ref_path: str, soft_deadline: float) -> dict:
     import numpy as np
-    import jax.numpy as jnp
     import jax
 
     from knnsvc_tpu.config import HiFiGANConfig, ModelFamily, PostOpt, WavLMConfig
-    from knnsvc_tpu.match.pipeline import match_utterance
     from knnsvc_tpu.match.pool import build_device_pool, load_utterance, one_hot_layer
+    from knnsvc_tpu.match.serve import convert_pools_fused
     from knnsvc_tpu.models.hifigan import init_generator_params
-    from knnsvc_tpu.models.hifigan.generator import vocode
     from knnsvc_tpu.models.wavlm import init_wavlm_params
     from knnsvc_tpu.precision import set_precision
     from knnsvc_tpu.utils.layer_weights import generate_matrix_from_index
     from knnsvc_tpu.utils.profiling import StageTimer
 
+    # parity keeps bit-exact float32 uploads; the serving configs quantize
+    # uploads to 16-bit like the download (congested tunnels are
+    # transfer-bound: r5 measured the two float32 uploads at ~800 ms of the
+    # 805 ms steady-state rep)
+    upload_dtype = "float32" if name == "parity" else "int16"
     print(f"# config {name}: precision={precision} matcher={matcher} "
-          f"post_opt={post_opt}", file=sys.stderr, flush=True)
+          f"post_opt={post_opt} upload={upload_dtype}",
+          file=sys.stderr, flush=True)
     set_precision(precision)
     jax.clear_caches()
 
@@ -171,7 +177,8 @@ def run_config(name: str, precision: str, matcher: str, post_opt: str,
             wav = load_utterance(path, SR)
         with timer.stage("pool_build"):
             pool = build_device_pool(wav, wavlm_params, wavlm_cfg,
-                                     weights, weights, SR, f0_method="fast")
+                                     weights, weights, SR, f0_method="fast",
+                                     upload_dtype=upload_dtype)
             # observe the ENCODE output, not pool.harmonics: harmonics is
             # lazy (joins the background f0) and must stay off the
             # pool-build critical path — the join belongs to the match
@@ -180,24 +187,19 @@ def run_config(name: str, precision: str, matcher: str, post_opt: str,
         return pool
 
     def convert_once(timer: StageTimer, mark=lambda s: None):
+        # the EXACT production serving path (hub convert_pair(fast=True)):
+        # two pool builds, then everything downstream of the f0 join —
+        # harmonics gather, match (+post_opt), vocode, int16 quantize — as
+        # the ONE fused dispatch of match/serve.py, and one int16 download
         mark("pool build: src")
         src = build_pool(timer, src_path)
         mark("pool build: ref")
         ref = build_pool(timer, ref_path)
-        mark("match (joins background f0)")
-        with timer.stage("match"):
-            feats = match_utterance(
-                src.matching, src.f0, ref.matching, ref.synth, ref.f0,
-                ref.harmonics, ckpt_type="mix", post_opt=popt,
-                matcher=matcher, as_numpy=False)
-        mark("vocode + waveform download")
-        with timer.stage("vocode+download"):
-            wav = vocode(gen_params, h, ModelFamily.MIX,
-                         feats.out_feats_weighted[None],
-                         feats.shifted_query_f0.reshape(1, -1, 1),
-                         feats.harmonics_out_feats_weighted[None])
-            # production (hub fast path) downloads int16 — half the bytes
-            q = jnp.clip(jnp.round(wav * 32768.0), -32768, 32767).astype(jnp.int16)
+        mark("fused match+vocode (joins background f0)")
+        with timer.stage("match+vocode+download"):
+            q, _ = convert_pools_fused(gen_params, h, ModelFamily.MIX, "mix",
+                                       src, ref, popt, topk=4,
+                                       matcher=matcher, sr=SR)
             wav = np.asarray(q).astype(np.float32) / 32768.0
         return wav, src, ref
 
@@ -249,8 +251,10 @@ def run_config(name: str, precision: str, matcher: str, post_opt: str,
         peak = float(os.environ.get("KNNSVC_TPU_PEAK_TFLOPS", "197"))
         rows = [
             ("encode+f0 (x2)", enc_flops, timer.totals["pool_build"]),
-            ("match", m_flops, timer.totals["match"]),
-            ("vocode+download", v_flops, timer.totals["vocode+download"]),
+            # one fused dispatch: the f0 join + match + vocode + download
+            # share a single measured window
+            ("match+vocode+download", m_flops + v_flops,
+             timer.totals["match+vocode+download"]),
         ]
         print(f"# MFU vs {peak:.0f} TFLOP/s peak (bf16; fp32-HIGHEST configs"
               f" run multi-pass, so their true ceiling is ~6x lower):",

@@ -78,6 +78,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "~10x lower pair latency / ~3x bulk throughput on "
                              "tunneled setups; identical selections for "
                              "--matcher exact)")
+    parser.add_argument("--upload_depth", choices=["float32", "int16"],
+                        default="float32",
+                        help="--fast pair mode: int16 halves the waveform "
+                             "uploads (lossless for 16-bit-sourced audio, "
+                             "-96 dBFS quantization noise otherwise) — the "
+                             "upload dominates congested-tunnel requests")
     parser.add_argument("--stream_chunk_s", type=float, default=None,
                         help="pair mode only: convert through the streaming "
                              "path in chunks of this many seconds (bounded "
@@ -151,6 +157,7 @@ def main(argv=None) -> int:
             args.src, args.tgt, topk=args.topk, prioritize_f0=args.prioritize_f0,
             post_opt=args.post_opt, tgt_loudness_db=loudness, matcher=args.matcher,
             fast=args.fast, output_path=args.out,
+            upload_dtype=args.upload_depth,
         )
         print("->", out)
         return 0

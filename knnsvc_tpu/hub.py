@@ -677,7 +677,8 @@ class KnnSvc:
                      tgt_loudness_db: float | None = None,
                      output_path: str | None = None,
                      matcher: str = "exact", mesh=None,
-                     fast: bool = False) -> str:
+                     fast: bool = False,
+                     upload_dtype: str = "float32") -> str:
         """Single file -> single file (ref special_match :937-1023). Writes
         `<src_dir>/<src>_to_<ref>_knn_<ckpt_type>_<post_opt>.wav` unless
         output_path is given; returns the output path. (The reference
@@ -691,7 +692,12 @@ class KnnSvc:
         extractor, and no VAD/pool caching applies. ~10x lower latency on
         tunneled single-chip setups; selections are identical for the exact
         matcher, and the output is quantized at 16-bit depth on the device
-        (inaudible vs the fp32 path; tested <= 2e-5 sample deviation)."""
+        (inaudible vs the fp32 path; tested <= 2e-5 sample deviation).
+
+        upload_dtype='int16' (fast path only) additionally quantizes the
+        waveform UPLOADS to 16-bit — on congested tunnels the two float32
+        uploads dominate the request (see build_device_pool); lossless for
+        PCM_16-sourced audio, -96 dBFS quantization noise otherwise."""
         if fast:
             if matcher not in ("exact", "approx", "sharded", "sharded_int8"):
                 raise ValueError(
@@ -704,10 +710,12 @@ class KnnSvc:
             ref_wav = load_utterance(ref_wav_file, self.sr)
             src = build_device_pool(src_wav, self.wavlm_params, self.wavlm_cfg,
                                     self.weighting, self.weighting, self.sr,
-                                    f0_method="fast", audio_path=src_wav_file)
+                                    f0_method="fast", audio_path=src_wav_file,
+                                    upload_dtype=upload_dtype)
             ref = build_device_pool(ref_wav, self.wavlm_params, self.wavlm_cfg,
                                     self.weighting, self.weighting, self.sr,
-                                    f0_method="fast", audio_path=ref_wav_file)
+                                    f0_method="fast", audio_path=ref_wav_file,
+                                    upload_dtype=upload_dtype)
             if matcher in ("exact", "approx"):
                 # everything downstream of the f0 join — harmonics gather,
                 # match, vocode, int16 quantize — is ONE dispatch + ONE

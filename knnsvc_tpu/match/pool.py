@@ -254,7 +254,10 @@ def harmonic_amplitudes_jax(spec: jnp.ndarray, f0: jnp.ndarray,
 def _encode_and_spec(wavlm_params, cfg, x, layers: tuple):
     """WavLM layer extraction(s) + linear spectrogram of one padded chunk as
     a single compiled program (the serving pool build is dispatch-bound on
-    tunneled single-chip setups)."""
+    tunneled single-chip setups). An int16 x is a quantized upload — the
+    dequantize runs on device (jit retraces per dtype)."""
+    if x.dtype == jnp.int16:
+        x = x.astype(jnp.float32) / 32768.0
     outs = [wavlm_extract_layer(wavlm_params, cfg, x, output_layer=l)[0]
             for l in layers]
     outs.append(linear_spectrogram(x[0]))
@@ -345,10 +348,18 @@ def build_device_pool(
     sr: int = SAMPLE_RATE,
     f0_method: str = "fast",
     audio_path: str | None = None,
+    upload_dtype: str = "float32",
 ) -> DevicePool:
     """Single-utterance pool that never leaves the device (30-s chunking as
     in chunked_wavlm_features; one-hot layer weightings only — the serving
-    path). f0 runs natively on the host wav (the one array already there)."""
+    path). f0 runs natively on the host wav (the one array already there).
+
+    upload_dtype='int16' halves the waveform upload (the serving bottleneck
+    on tunneled setups — measured 4.7 MB/s on a congested tunnel, where the
+    two float32 30-s uploads alone cost ~800 ms) by quantizing to 16-bit on
+    the host and dequantizing on device. Same audible-content stance as the
+    int16 waveform download; lossless for PCM_16-sourced audio. Default
+    float32 keeps bit-exactness with the host-pool path (tested)."""
     m_hot = one_hot_layer(match_weights)
     s_hot = one_hot_layer(synth_weights)
     assert m_hot is not None and s_hot is not None, "device pool needs one-hot weights"
@@ -382,6 +393,9 @@ def build_device_pool(
             break
         n_pad = HOP_LENGTH - (len(chunk) % HOP_LENGTH)  # ref :284 pad quirk
         chunk = np.pad(chunk, (0, n_pad))
+        if upload_dtype == "int16":
+            chunk = np.clip(np.round(chunk * 32768.0), -32768,
+                            32767).astype(np.int16)
         x = jnp.asarray(chunk)[None]                    # the upload
         # one dispatch per chunk: encode(s) + spectrogram fused (each
         # dispatch costs a ~10 ms host round trip on tunneled setups)

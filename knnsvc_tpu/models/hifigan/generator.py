@@ -152,9 +152,13 @@ def vocode(params: Params, h: HiFiGANConfig, family: ModelFamily, feats: jax.Arr
 # ------------------------------------------------------------ init
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("h", "family", "weight_norm_parametrized"))
 def init_generator_params(key: jax.Array, h: HiFiGANConfig, family: ModelFamily,
                           weight_norm_parametrized: bool = False) -> Params:
-    """Random init with reference-matching shapes. With
+    """Random init with reference-matching shapes, as ONE jitted program
+    (see init_wavlm_params: per-op dispatch+compile dominates on tunneled
+    TPU setups). With
     weight_norm_parametrized=True, weight-normed convs get {"g", "v"} params
     (training); otherwise folded {"w"} (inference)."""
     keys = iter(jax.random.split(key, 512))

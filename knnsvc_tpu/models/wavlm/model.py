@@ -403,9 +403,16 @@ def wavlm_encode(params: Params, cfg: WavLMConfig, wav: jax.Array,
 # ---------------------------------------------------------------- init
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def init_wavlm_params(key: jax.Array, cfg: WavLMConfig) -> Params:
     """Random init with reference-matching shapes (for tests/benchmarks; real
-    use converts a torch checkpoint via io/checkpoints.py)."""
+    use converts a torch checkpoint via io/checkpoints.py).
+
+    Jitted as ONE program: un-jitted, the ~50 RNG/zeros ops each pay a
+    dispatch round trip AND a remote compile on tunneled TPU setups —
+    measured 185 s of 'params init' per bench child vs ~45 s for the single
+    program. (A single flat 316M-element RNG draw was tried and is WORSE
+    there: the axon AOT compiler takes ~270 s on it.)"""
     keys = iter(jax.random.split(key, 256))
     D = cfg.encoder_embed_dim
 

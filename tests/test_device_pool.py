@@ -172,3 +172,19 @@ def test_f0_executor_is_shared_single_worker():
     ex = _f0_executor()
     assert ex is _f0_executor()
     assert ex._max_workers == 1
+
+
+def test_int16_upload_close_to_float32(tiny_encoder):
+    """upload_dtype='int16' halves the waveform upload; the dequantized
+    features must sit within the -96 dBFS quantization-noise budget of the
+    float32 path (wiring + quality bound for the congested-tunnel mode)."""
+    cfg, params, weights, wav = tiny_encoder
+    a = build_device_pool(wav, params, cfg, weights, weights, SR)
+    b = build_device_pool(wav, params, cfg, weights, weights, SR,
+                          upload_dtype="int16")
+    ma, mb = np.asarray(a.matching), np.asarray(b.matching)
+    assert ma.shape == mb.shape
+    dev = float(np.max(np.abs(ma - mb)))
+    assert dev < 1e-2 * float(np.std(ma)), dev
+    sa, sb = np.asarray(a.spec), np.asarray(b.spec)
+    assert float(np.max(np.abs(sa - sb))) < 1e-3, "spec must barely move"
