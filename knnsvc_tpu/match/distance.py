@@ -29,7 +29,12 @@ def cosine_distance(source: jax.Array, pool: jax.Array, eps: float = 0.0) -> jax
     dot = jnp.dot(source, pool.T, preferred_element_type=jnp.float32, precision=get_precision())
     denom = src_norm * pool_norm.T + eps
     cos = jnp.where(denom > 0.0, dot / jnp.where(denom > 0.0, denom, 1.0), -1.0)
-    return 1.0 - cos
+    # NaN *inputs* (corrupt features) would sail through the dot; clamp them
+    # to the worst distance so they cannot win top-k either (the reference's
+    # NaN check aborts the run instead — lib_ongaku_test.py:166-169). XLA
+    # fuses the elementwise clamp into the surrounding computation.
+    dist = 1.0 - cos
+    return jnp.where(jnp.isnan(dist), 2.0, dist)
 
 
 def weighted_cosine_distance(source: jax.Array, pool: jax.Array,
@@ -49,4 +54,6 @@ def weighted_cosine_distance(source: jax.Array, pool: jax.Array,
                             precision=get_precision())             # (Q, P)
     denom = src_norm[:, None] * jnp.sqrt(pool_norms_sq)
     cos = jnp.where(denom > 0.0, dot / jnp.where(denom > 0.0, denom, 1.0), -1.0)
-    return 1.0 - cos
+    dist = 1.0 - cos
+    # NaN-input clamp, same rationale as cosine_distance above.
+    return jnp.where(jnp.isnan(dist), 2.0, dist)

@@ -25,8 +25,8 @@ from __future__ import annotations
 import math
 import os
 import pickle
-import queue
-import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 import numpy as np
@@ -172,32 +172,47 @@ class MelDataset:
 
 
 def batch_iterator(dataset: MelDataset, batch_size: int, shuffle: bool = True,
-                   seed: int = 0, drop_last: bool = True, prefetch: int = 2):
-    """Yield stacked numpy batches with background prefetch (the reference's
-    DataLoader(num_workers=12) equivalent — ref ddsp_train.py:52-56)."""
+                   seed: int = 0, drop_last: bool = True, prefetch: int = 2,
+                   num_workers: int = 4):
+    """Yield stacked numpy batches with multi-worker background prefetch (the
+    reference's DataLoader(num_workers=12) — ref ddsp_train.py:52-56).
+
+    The reference parallelizes item loading with worker *processes*; here the
+    per-item hot work (mmap reads, native f0 extraction via a ctypes call,
+    XLA-executed mel) releases the GIL, so a thread pool gives the same
+    parallelism without process-spawn or pickling costs. `prefetch` batches
+    are kept in flight (`prefetch * batch_size` item futures); batches are
+    assembled and yielded strictly in submission order, so results are
+    deterministic for a fixed seed regardless of num_workers. Worker
+    exceptions re-raise at the consuming `f.result()`."""
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
     n_batches = len(order) // batch_size if drop_last else math.ceil(len(order) / batch_size)
 
-    q: queue.Queue = queue.Queue(maxsize=prefetch)
+    pool = ThreadPoolExecutor(max_workers=max(1, num_workers),
+                              thread_name_prefix="melds")
+    pending: deque = deque()
 
-    def worker():
-        for b in range(n_batches):
-            idx = order[b * batch_size : (b + 1) * batch_size]
-            items = [dataset[int(i)] for i in idx]
+    def submit(b: int) -> None:
+        idx = order[b * batch_size : (b + 1) * batch_size]
+        pending.append([pool.submit(dataset.__getitem__, int(i)) for i in idx])
+
+    try:
+        next_b = min(prefetch, n_batches)
+        for b in range(next_b):
+            submit(b)
+        while pending:
+            futs = pending.popleft()
+            items = [f.result() for f in futs]
+            if next_b < n_batches:
+                submit(next_b)
+                next_b += 1
             batch = {
                 k: np.stack([it[k] for it in items])
                 for k in ("feats", "audio", "mel_loss", "f0", "harmonics")
             }
             batch["paths"] = [it["path"] for it in items]
-            q.put(batch)
-        q.put(None)
-
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
-    while True:
-        batch = q.get()
-        if batch is None:
-            return
-        yield batch
+            yield batch
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)

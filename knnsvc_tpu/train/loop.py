@@ -242,7 +242,9 @@ def train(
             opt_d=set_learning_rate(state.opt_d, lr),
         )
 
-        for batch in batch_iterator(trainset, h.batch_size, shuffle=True, seed=h.seed + epoch):
+        for batch in batch_iterator(trainset, h.batch_size, shuffle=True,
+                                    seed=h.seed + epoch,
+                                    num_workers=h.num_workers):
             # device_put straight from numpy: one host->device transfer with
             # the target sharding (jnp.asarray first would upload twice)
             arrays = {k: jax.device_put(np.asarray(batch[k]), batch_sharding)

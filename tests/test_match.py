@@ -226,6 +226,27 @@ def test_zero_norm_rows_finite():
     assert np.all(np.isfinite(dw))
 
 
+def test_nan_input_rows_cannot_win_topk():
+    """NaN *inputs* (corrupt features) are clamped to max distance instead of
+    propagating — the reference aborts on detected NaN
+    (lib_ongaku_test.py:166-169); producing a finite worst-case is safer."""
+    rng = np.random.default_rng(11)
+    q = rng.standard_normal((6, 32)).astype(np.float32)
+    p = rng.standard_normal((25, 32)).astype(np.float32)
+    q[2, 5] = np.nan
+    p[7, 0] = np.nan
+    for fn in (lambda a, b: cosine_distance(a, b),
+               lambda a, b: weighted_cosine_distance(
+                   a, b, jnp.abs(jnp.asarray(
+                       rng.standard_normal((6, 32)).astype(np.float32))))):
+        d = np.asarray(fn(jnp.asarray(q), jnp.asarray(p)))
+        assert np.all(np.isfinite(d))
+        assert np.all(d[2] == 2.0) and np.all(d[:, 7] == 2.0)
+    idx, vals = knn_topk(jnp.asarray(q), jnp.asarray(p), k=4)
+    assert np.all(np.isfinite(np.asarray(vals)))
+    assert 7 not in np.asarray(idx)
+
+
 def test_concat_cost_pair_equals_two_singles():
     """knn_with_concat_cost_pair (one lane-stacked scan) is bit-identical to
     running the unpitched and pitched reselections separately."""

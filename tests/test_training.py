@@ -235,3 +235,45 @@ def test_eval_step_padded_matches_eval_step(tiny_train_setup):
     # receptive field; the masked mean must agree closely
     assert np.isfinite(float(masked))
     np.testing.assert_allclose(float(masked), float(exact), rtol=0.15)
+
+
+class _FakeMelDataset:
+    """Minimal batch_iterator input: deterministic items, optional poison."""
+
+    def __init__(self, n: int, poison: int | None = None):
+        self.n, self.poison = n, poison
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i: int):
+        if i == self.poison:
+            raise ValueError(f"poisoned item {i}")
+        base = np.full((4, 3), float(i), np.float32)
+        return {"feats": base, "audio": np.full(8, float(i), np.float32),
+                "mel_loss": base, "f0": base[:, :1], "harmonics": base,
+                "path": f"utt{i}"}
+
+
+def test_batch_iterator_deterministic_across_workers():
+    """Same seed -> identical batch stream for any num_workers/prefetch
+    (ordered assembly; the thread pool must not reorder results)."""
+    from knnsvc_tpu.train.dataset import batch_iterator
+
+    ds = _FakeMelDataset(13)
+    ref = list(batch_iterator(ds, 3, seed=5, num_workers=1, prefetch=1))
+    assert len(ref) == 4  # drop_last
+    for workers, prefetch in ((4, 2), (8, 3)):
+        got = list(batch_iterator(ds, 3, seed=5, num_workers=workers,
+                                  prefetch=prefetch))
+        assert [b["paths"] for b in got] == [b["paths"] for b in ref]
+        for a, b in zip(got, ref):
+            np.testing.assert_array_equal(a["feats"], b["feats"])
+
+
+def test_batch_iterator_propagates_worker_exception():
+    from knnsvc_tpu.train.dataset import batch_iterator
+
+    ds = _FakeMelDataset(8, poison=5)
+    with pytest.raises(ValueError, match="poisoned item 5"):
+        list(batch_iterator(ds, 2, shuffle=False, num_workers=4))
