@@ -456,14 +456,15 @@ def main() -> int:
         names.append("parity")
 
     results: dict[str, dict] = {}
+    stop_reason: str | None = None
     for i, name in enumerate(names):
         if i > 0:
             # re-probe between configs: a mid-run outage salvages the
             # configs already measured instead of hanging the rest
             err, _ = _probe_with_retries(min(budget, 240.0))
             if err is not None:
-                print(f"# stopping after {list(results)}: {err}",
-                      file=sys.stderr, flush=True)
+                stop_reason = f"stopped after {list(results)}: {err}"
+                print(f"# {stop_reason}", file=sys.stderr, flush=True)
                 break
         out = _run_config_subprocess(name, config_timeout)
         if (out is None or "rtf" not in out):
@@ -503,18 +504,21 @@ def main() -> int:
             if "rtf" not in fast:
                 # without a headline the rest is moot; stop burning the
                 # driver's window on post_opt/parity compiles
+                stop_reason = "fast config failed; later configs not attempted"
                 break
     for name in ("post_opt", "parity"):
         if name in results and "rtf" in results[name]:
             print(f"# {name} RTF: {results[name]['rtf']:.1f}x RT "
                   f"(target >=50x)", file=sys.stderr, flush=True)
     ok = "fast" in results and "rtf" in results["fast"]
-    if ok and len(results) > 1:
+    skipped = [n for n in names if n not in results]
+    if ok and (len(results) > 1 or skipped):
         # FINAL superseding record with every config (drivers that parse the
         # last JSON line get the complete payload; the earlier line is the
-        # kill-safe fallback)
+        # kill-safe fallback). Skipped configs + the reason ride IN the JSON
+        # so a degraded run is self-describing without the stderr log.
         fast = results["fast"]
-        print(json.dumps({
+        payload = {
             "metric": "end_to_end_conversion_rtf",
             "value": fast.get("rtf", 0.0),
             "unit": "audio_sec/sec/chip",
@@ -523,7 +527,12 @@ def main() -> int:
             "fast": fast,
             "post_opt": results.get("post_opt"),
             "parity": results.get("parity"),
-        }), flush=True)
+        }
+        if skipped:
+            payload["skipped_configs"] = skipped
+        if stop_reason:
+            payload["stop_reason"] = stop_reason
+        print(json.dumps(payload), flush=True)
     return 0 if ok else 1
 
 
