@@ -78,6 +78,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "~10x lower pair latency / ~3x bulk throughput on "
                              "tunneled setups; identical selections for "
                              "--matcher exact)")
+    parser.add_argument("--f0_method", default="fast",
+                        choices=["fast", "harvest", "dio", "yin", "device"],
+                        help="--fast/--stream_chunk_s paths: f0 extractor. "
+                             "'fast' = native budget Harvest on a background "
+                             "host thread (quality-proven default); 'device' "
+                             "= the accelerator-resident extractor fused "
+                             "into the pool-build dispatch (zero host "
+                             "compute — max sustained throughput)")
     parser.add_argument("--upload_depth", choices=["float32", "int16"],
                         default="float32",
                         help="--fast pair mode: int16 halves the waveform "
@@ -134,6 +142,7 @@ def main(argv=None) -> int:
         knn = KnnSvc.random_init(args.ckpt_type)
     else:
         knn = KnnSvc.load(args.ckpt_dir, args.ckpt_type, args.wavlm_ckpt, args.config)
+    knn.f0_method = args.f0_method
 
     src_is_file, tgt_is_file = os.path.isfile(args.src), os.path.isfile(args.tgt)
     src_is_dir, tgt_is_dir = os.path.isdir(args.src), os.path.isdir(args.tgt)

@@ -171,10 +171,14 @@ def get_f0(x: np.ndarray, sr: int, audio_path: str | None = None,
     method: 'harvest' (native parity-grade Harvest, the live-path default —
     same extractor family as the reference's pyworld call), 'fast' (the
     budget Harvest: same pipeline on a coarser grid, >100x realtime, for
-    latency-sensitive serving), 'dio' (DIO+StoneMask, fastest), or 'yin'
-    (pure-numpy fallback). Native methods fall back to YIN when the native
-    toolchain is unavailable."""
+    latency-sensitive serving), 'dio' (DIO+StoneMask, fastest), 'device'
+    (the accelerator-resident JAX extractor, dsp/f0_device.py — zero host
+    compute; the fused pool build bypasses this entry entirely and traces
+    it inline), or 'yin' (pure-numpy fallback). Native methods fall back to
+    YIN when the native toolchain is unavailable."""
     cache_name = _NATIVE_METHODS.get(method, (None, method))[1]
+    if method == "device":
+        cache_name = "dev1"  # bump when the device extractor/knobs change
     if use_sidecar and audio_path is not None:
         # the parity sidecar (harvest-grade, the reference's convention) is
         # preferred by every method; approximate methods fall back to their
@@ -184,7 +188,8 @@ def get_f0(x: np.ndarray, sr: int, audio_path: str | None = None,
             p = _sidecar_path(audio_path, cache_name)
             if os.path.exists(p):
                 cached = np.load(p).astype(np.float32)
-        if cached is None and method != "yin" and not _native_available():
+        if (cached is None and method not in ("yin", "device")
+                and not _native_available()):
             # a previous call with this method fell back to YIN and cached
             # under the fallback's name — reuse it instead of recomputing
             p = _sidecar_path(audio_path, "yin")
@@ -195,6 +200,10 @@ def get_f0(x: np.ndarray, sr: int, audio_path: str | None = None,
     cache_used = cache_name
     if method == "yin":
         f0 = yin_f0(x, sr, hop=hop)
+    elif method == "device":
+        from knnsvc_tpu.dsp.f0_device import device_f0
+
+        f0 = device_f0(x, sr, hop=hop)
     else:
         try:
             from knnsvc_tpu.dsp import harvest as native

@@ -74,7 +74,7 @@ class _StreamRunner:
         ref_wav = load_utterance(ref_wav_file, svc.sr)
         self.ref = build_device_pool(ref_wav, svc.wavlm_params, svc.wavlm_cfg,
                                      svc.weighting, svc.weighting, svc.sr,
-                                     f0_method="fast",
+                                     f0_method=svc.f0_method,
                                      audio_path=str(ref_wav_file))
         self.sharded = None
         if matcher in ("sharded", "sharded_int8"):
@@ -203,7 +203,7 @@ class _StreamRunner:
                 wpool = build_device_pool(window, svc.wavlm_params,
                                           svc.wavlm_cfg, svc.weighting,
                                           svc.weighting, svc.sr,
-                                          f0_method="fast")
+                                          f0_method=svc.f0_method)
                 t_local = int(wpool.matching.shape[0])
                 c_lo = g_lo - w0 // hop
                 q_match, q_f0 = wpool.matching, wpool.f0
@@ -369,6 +369,11 @@ class KnnSvc:
         self.sr = hifigan_cfg.sampling_rate
         self.hop_length = HOP_LENGTH
         self.weighting = generate_matrix_from_index(SPEAKER_INFORMATION_LAYER)
+        # the fast/streaming paths' f0 extractor: 'fast' (native budget
+        # Harvest on a background host thread, the quality-proven default),
+        # 'device' (dsp/f0_device.py fused into the pool-build dispatch —
+        # zero host compute), or any dsp/f0.py method name
+        self.f0_method = "fast"
 
     # ------------------------------------------------------------- factory
 
@@ -710,11 +715,13 @@ class KnnSvc:
             ref_wav = load_utterance(ref_wav_file, self.sr)
             src = build_device_pool(src_wav, self.wavlm_params, self.wavlm_cfg,
                                     self.weighting, self.weighting, self.sr,
-                                    f0_method="fast", audio_path=src_wav_file,
+                                    f0_method=self.f0_method,
+                                    audio_path=src_wav_file,
                                     upload_dtype=upload_dtype)
             ref = build_device_pool(ref_wav, self.wavlm_params, self.wavlm_cfg,
                                     self.weighting, self.weighting, self.sr,
-                                    f0_method="fast", audio_path=ref_wav_file,
+                                    f0_method=self.f0_method,
+                                    audio_path=ref_wav_file,
                                     upload_dtype=upload_dtype)
             if matcher in ("exact", "approx"):
                 # everything downstream of the f0 join — harmonics gather,
@@ -946,7 +953,8 @@ class KnnSvc:
                 continue
             p = build_device_pool(wav, self.wavlm_params, self.wavlm_cfg,
                                   self.weighting, self.weighting, self.sr,
-                                  f0_method="fast", audio_path=str(f))
+                                  f0_method=self.f0_method,
+                                  audio_path=str(f))
             parts.append(p)
             total += p.matching.shape[0]
             if limit_frames is not None and total >= limit_frames:

@@ -250,17 +250,30 @@ def harmonic_amplitudes_jax(spec: jnp.ndarray, f0: jnp.ndarray,
     return (HARMONIC_SCALE * gathered).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "layers"))
-def _encode_and_spec(wavlm_params, cfg, x, layers: tuple):
+@functools.partial(jax.jit, static_argnames=("cfg", "layers", "with_f0"))
+def _encode_and_spec(wavlm_params, cfg, x, layers: tuple,
+                     with_f0: bool = False):
     """WavLM layer extraction(s) + linear spectrogram of one padded chunk as
     a single compiled program (the serving pool build is dispatch-bound on
     tunneled single-chip setups). An int16 x is a quantized upload — the
-    dequantize runs on device (jit retraces per dtype)."""
+    dequantize runs on device (jit retraces per dtype).
+
+    with_f0=True additionally runs the device-resident f0 extractor
+    (dsp/f0_device.py) on the same uploaded chunk inside the SAME program —
+    the zero-host-f0 pool build (f0_method='device')."""
     if x.dtype == jnp.int16:
         x = x.astype(jnp.float32) / 32768.0
     outs = [wavlm_extract_layer(wavlm_params, cfg, x, output_layer=l)[0]
             for l in layers]
     outs.append(linear_spectrogram(x[0]))
+    if with_f0:
+        from knnsvc_tpu.dsp.f0_device import device_f0_jax
+
+        # the pool keeps outs[0].shape[0] frames of this chunk; the f0 grid
+        # (frame i at sample i*hop) is the same 20 ms grid the encoder's
+        # stride-320 frontend emits
+        outs.append(device_f0_jax(x[0], sr=SAMPLE_RATE,
+                                  n_frames=outs[0].shape[0]))
     return tuple(outs)
 
 
@@ -359,31 +372,43 @@ def build_device_pool(
     two float32 30-s uploads alone cost ~800 ms) by quantizing to 16-bit on
     the host and dequantizing on device. Same audible-content stance as the
     int16 waveform download; lossless for PCM_16-sourced audio. Default
-    float32 keeps bit-exactness with the host-pool path (tested)."""
+    float32 keeps bit-exactness with the host-pool path (tested).
+
+    f0_method='device' runs the device-resident extractor (dsp/f0_device.py)
+    INSIDE each chunk's fused encode dispatch — no host f0 thread, no f0
+    upload, no host work at all beyond the waveform upload. The Viterbi
+    smoothing then runs per 30-s chunk instead of per file (boundary-local
+    divergence only; every other method decodes the whole file at once)."""
     m_hot = one_hot_layer(match_weights)
     s_hot = one_hot_layer(synth_weights)
     assert m_hot is not None and s_hot is not None, "device pool needs one-hot weights"
     layers = sorted({m_hot, s_hot})
 
-    # Kick the native f0 off on the background thread BEFORE the encode
-    # dispatch loop: the C call releases the GIL, so it runs while this
-    # thread uploads chunks / waits on tunnel round trips, and while the
-    # device chews the encode queue. The join happens lazily at first
-    # pool.f0 access (typically the match dispatch, after BOTH pools'
-    # encodes are in flight).
-    f0_future = _f0_executor().submit(
-        get_f0, wav, sr, audio_path=audio_path, method=f0_method,
-        use_sidecar=audio_path is not None,
-        write_sidecar=audio_path is not None)
-    # If the pool's f0 is never accessed, a worker failure would otherwise be
-    # swallowed (future never joined) — at least leave a log line.
-    f0_future.add_done_callback(
-        lambda f: f.cancelled() or f.exception() is None or logging.getLogger(
-            __name__).warning("background f0 extraction failed: %r",
-                              f.exception()))
+    device_f0 = f0_method == "device"
+    if device_f0:
+        assert sr == SAMPLE_RATE, "f0_method='device' assumes the 16 kHz path"
+        f0_future = None
+    else:
+        # Kick the native f0 off on the background thread BEFORE the encode
+        # dispatch loop: the C call releases the GIL, so it runs while this
+        # thread uploads chunks / waits on tunnel round trips, and while the
+        # device chews the encode queue. The join happens lazily at first
+        # pool.f0 access (typically the match dispatch, after BOTH pools'
+        # encodes are in flight).
+        f0_future = _f0_executor().submit(
+            get_f0, wav, sr, audio_path=audio_path, method=f0_method,
+            use_sidecar=audio_path is not None,
+            write_sidecar=audio_path is not None)
+        # If the pool's f0 is never accessed, a worker failure would
+        # otherwise be swallowed (future never joined) — at least log it.
+        f0_future.add_done_callback(
+            lambda f: f.cancelled() or f.exception() is None or
+            logging.getLogger(__name__).warning(
+                "background f0 extraction failed: %r", f.exception()))
 
     feats: dict[int, list[jnp.ndarray]] = {l: [] for l in layers}
     specs = []
+    f0_chunks: list[jnp.ndarray] = []
     chunk_len = CHUNK_SECONDS * sr
     start = 0
     chunk_index = 0
@@ -397,9 +422,14 @@ def build_device_pool(
             chunk = np.clip(np.round(chunk * 32768.0), -32768,
                             32767).astype(np.int16)
         x = jnp.asarray(chunk)[None]                    # the upload
-        # one dispatch per chunk: encode(s) + spectrogram fused (each
-        # dispatch costs a ~10 ms host round trip on tunneled setups)
-        outs = _encode_and_spec(wavlm_params, wavlm_cfg, x, tuple(layers))
+        # one dispatch per chunk: encode(s) + spectrogram (+ device f0)
+        # fused (each dispatch costs a ~10 ms host round trip on tunneled
+        # setups)
+        outs = _encode_and_spec(wavlm_params, wavlm_cfg, x, tuple(layers),
+                                with_f0=device_f0)
+        if device_f0:
+            f0_chunks.append(outs[-1])
+            outs = outs[:-1]
         for l, f in zip(layers, outs[:-1]):
             feats[l].append(f)
         # Spec/feature alignment. The reference indexes a CONTINUOUS
@@ -424,6 +454,10 @@ def build_device_pool(
     spec = jnp.concatenate(specs, axis=0)
     assert spec.shape[0] == T, (spec.shape, T)
 
+    if device_f0:
+        f0 = (f0_chunks[0] if len(f0_chunks) == 1
+              else jnp.concatenate(f0_chunks, axis=0))
+        return DevicePool(matching, synth, f0=f0[:T], spec=spec, sr=sr)
     return DevicePool(matching, synth, f0_future=f0_future, spec=spec, sr=sr)
 
 

@@ -188,3 +188,42 @@ def test_int16_upload_close_to_float32(tiny_encoder):
     assert dev < 1e-2 * float(np.std(ma)), dev
     sa, sb = np.asarray(a.spec), np.asarray(b.spec)
     assert float(np.max(np.abs(sa - sb))) < 1e-3, "spec must barely move"
+
+
+def test_device_f0_method_fused(tiny_encoder, monkeypatch):
+    """f0_method='device' fuses the extractor into the pool-build dispatch:
+    no background thread at all, f0 materialized eagerly, and per-chunk
+    values matching the standalone device_f0 on the same audio (away from
+    the bucket-padding tail — see test_f0_device.py)."""
+    from knnsvc_tpu.dsp.f0_device import device_f0
+
+    cfg, params, weights, wav = tiny_encoder
+
+    def boom(*a, **kw):  # the host extractor must never be called
+        raise AssertionError("host get_f0 called on the device-f0 path")
+
+    monkeypatch.setattr(pool_mod, "get_f0", boom)
+    pool = build_device_pool(wav, params, cfg, weights, weights, SR,
+                             f0_method="device")
+    assert pool._f0_future is None
+    T = pool.matching.shape[0]
+    assert pool.f0.shape == (T,)
+    assert pool.harmonics.shape == (T, 49)
+    ref = device_f0(wav, SR)[:T]
+    got = np.asarray(pool.f0)
+    # identical pipeline, different padding tail: compare away from it
+    np.testing.assert_allclose(got[: T - 8], ref[: T - 8], rtol=0.01,
+                               atol=0.5)
+
+
+def test_device_f0_method_int16_upload(tiny_encoder, monkeypatch):
+    """The fused device-f0 path composes with int16 uploads (dequantize +
+    f0 on device; the serving fast config)."""
+    cfg, params, weights, wav = tiny_encoder
+    monkeypatch.setattr(pool_mod, "get_f0", None)  # must not be touched
+    pool = build_device_pool(wav, params, cfg, weights, weights, SR,
+                             f0_method="device", upload_dtype="int16")
+    T = pool.matching.shape[0]
+    assert pool.f0.shape == (T,)
+    v = np.asarray(pool.f0)
+    assert np.isfinite(v).all() and (v >= 0).all()

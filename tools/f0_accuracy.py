@@ -70,12 +70,14 @@ def evaluate(extract, seconds: float | None = None) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--method", default="harvest",
-                    choices=["harvest", "fast", "dio", "yin"])
+                    choices=["harvest", "fast", "dio", "yin", "device"])
     ap.add_argument("--seconds", type=float, default=None)
     args = ap.parse_args()
 
     if args.method == "yin":
         from knnsvc_tpu.dsp.f0 import yin_f0 as fn
+    elif args.method == "device":
+        from knnsvc_tpu.dsp.f0_device import device_f0 as fn
     else:
         import knnsvc_tpu.dsp.harvest as h
 

@@ -260,6 +260,8 @@ def evaluate(suite_dir: str, split: str, method: str,
 
     if method == "yin":
         from knnsvc_tpu.dsp.f0 import yin_f0 as extract
+    elif method == "device":
+        from knnsvc_tpu.dsp.f0_device import device_f0 as extract
     else:
         import knnsvc_tpu.dsp.harvest as h
 
@@ -314,7 +316,7 @@ def main() -> int:
     ap.add_argument("--eval", help="evaluate an extractor against a suite dir")
     ap.add_argument("--split", default=None, choices=["tune", "heldout"])
     ap.add_argument("--method", default="harvest",
-                    choices=["harvest", "fast", "dio", "yin"])
+                    choices=["harvest", "fast", "dio", "yin", "device"])
     ap.add_argument("--per-file", action="store_true")
     args = ap.parse_args()
     if args.out:
