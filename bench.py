@@ -179,12 +179,18 @@ def run_config(name: str, precision: str, matcher: str, post_opt: str,
     # device-resident pools: features/spec/harmonics never leave HBM; the
     # host<->device traffic per conversion is two waveform uploads, the tiny
     # native-f0 vectors and one waveform download
+    # KNNSVC_BENCH_F0=device swaps the serving f0 from the host budget
+    # Harvest (background thread) to the accelerator-resident extractor
+    # fused into the pool-build dispatch (dsp/f0_device.py) — zero host f0
+    f0_method = os.environ.get("KNNSVC_BENCH_F0", "fast")
+
     def build_pool(timer: StageTimer, path: str):
         with timer.stage("load+resample"):
             wav = load_utterance(path, SR)
         with timer.stage("pool_build"):
             pool = build_device_pool(wav, wavlm_params, wavlm_cfg,
-                                     weights, weights, SR, f0_method="fast",
+                                     weights, weights, SR,
+                                     f0_method=f0_method,
                                      upload_dtype=upload_dtype)
             # observe the ENCODE output, not pool.harmonics: harmonics is
             # lazy (joins the background f0) and must stay off the
@@ -235,7 +241,7 @@ def run_config(name: str, precision: str, matcher: str, post_opt: str,
           file=sys.stderr, flush=True)
 
     out: dict = {"config": name, "compiled_s": round(compiled_s, 1),
-                 "stage_split": None, "mfu": None}
+                 "f0_method": f0_method, "stage_split": None, "mfu": None}
 
     # --- attribution pass: per-stage wall clock with device sync ----------
     # skipped when the deadline is near — the headline reps matter more

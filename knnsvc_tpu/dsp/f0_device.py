@@ -82,26 +82,26 @@ class DeviceF0Params:
     neg_weight: float = 0.45        # half-harmonic negative evidence
     # --- traced economics (fit via tools/tune_f0_device.py on the suite's
     # tune split + the two real-voice sidecar files, never the held-out
-    # split; measured: held-out synthetic P .997 / R .970 / w50 .961 /
-    # median 0.73 cents — ABOVE the native full Harvest's .936 — and
-    # sidecar real voice P .844 / R .943 / w50 .689 / median 12.7 cents,
+    # split; measured: held-out synthetic P 1.000 / R .949 / w50 .974 /
+    # w20 .971 / median 0.51 cents — ABOVE the native full Harvest's .936 —
+    # and sidecar real voice P .849 / R .931 / w50 .810 / median 8.7 cents,
     # below budget Harvest's .953/.877: the residual errors concentrate on
     # fast pitch transitions (>60 cents/frame), where a windowed analysis
     # disagrees with pyworld's 1-ms contours about WHEN the pitch moved.
     # See BASELINE.md for the end-to-end fidelity impact. ------------------
-    unvoiced_cost: float = 0.672    # voicing knee on per-frame contrast
-    switch_cost: float = 0.205     # voiced<->unvoiced transition
-    lam: float = 0.182              # transition cost per |delta log2 f0|
-    energy_floor_db: float = -69.8  # absolute silence gate (vs file peak)
-    refine_gate_cents: float = 118.0
+    unvoiced_cost: float = 0.796    # voicing knee on per-frame contrast
+    switch_cost: float = 0.291     # voiced<->unvoiced transition
+    lam: float = 0.753              # transition cost per |delta log2 f0|
+    energy_floor_db: float = -68.1  # absolute silence gate (vs file peak)
+    refine_gate_cents: float = 115.7
     # super-harmonic suppression: penalize candidate c by the salience of
     # c/2 and c/3 — if a sub-harmonic ALSO explains the spectrum, c is
     # probably harmonic 2/3 of the true pitch. (The comb's half-harmonic
     # negatives kill the 2f error; the 3f error has no such hole — all of
     # 3f's harmonics AND its half-harmonic positions are clean for a true
     # pitch at f, so only this cross-candidate evidence catches it.)
-    subharm2: float = 0.078
-    subharm3: float = 0.145
+    subharm2: float = 0.030
+    subharm3: float = 0.082
 
     def static_key(self) -> "DeviceF0Params":
         """The recompile identity: economics zeroed out."""
@@ -193,9 +193,9 @@ def _dt_min(dv: jnp.ndarray, lam_s: jnp.ndarray,
     `ramp` is arange(C) as floats (hoisted by the caller)."""
     shift = ramp * lam_s
     lv, li = _cummin_arg(dv - shift)
-    left = lv + shift
+    left = lv + shift              # min over i <= j of dv[i] + (j-i)*lam
     rv, ri = _cummin_arg((dv + shift)[::-1])
-    right = (rv + shift[::-1])[::-1]
+    right = rv[::-1] - shift       # min over i >= j of dv[i] + (i-j)*lam
     ri = (dv.shape[0] - 1 - ri)[::-1]
     take_l = left <= right
     return jnp.where(take_l, left, right), jnp.where(take_l, li, ri)
@@ -236,9 +236,13 @@ def _viterbi(cost_v: jnp.ndarray, cost_u: jnp.ndarray, lam_s: jnp.ndarray,
     last = jnp.where(jnp.min(dv) <= du, jnp.argmin(dv), C).astype(jnp.int32)
 
     def back(state, ptrs):
+        # ptrs[k] maps frame k+1's state to frame k's; the emitted value
+        # must be the PREDECESSOR (frame k's state), not the carry — the
+        # carry is frame k+1's, already emitted by the previous step
         pv, pu = ptrs
         prev = jnp.where(state == C, pu, pv[jnp.minimum(state, C - 1)])
-        return prev.astype(jnp.int32), state
+        prev = prev.astype(jnp.int32)
+        return prev, prev
 
     _, states = jax.lax.scan(back, last, (ptr_v, ptr_u), reverse=True)
     return jnp.concatenate([states, last[None]])

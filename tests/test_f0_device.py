@@ -133,3 +133,88 @@ def test_bands_cover_grid():
     from knnsvc_tpu.dsp.f0_device import F0_CEIL, F0_FLOOR
 
     assert lo <= F0_FLOOR and hi >= F0_CEIL
+
+
+def test_distance_transform_matches_bruteforce():
+    """_dt_min is the O(C) lower envelope of dv[i] + lam*|i-j|; it must
+    equal the brute-force O(C^2) min (and a valid argmin) exactly."""
+    import jax
+
+    from knnsvc_tpu.dsp.f0_device import _dt_min
+
+    rng = np.random.default_rng(3)
+    for C in [1, 2, 7, 64]:
+        dv = rng.standard_normal(C).astype(np.float32) * 3
+        lam = np.float32(0.23)
+        ramp = jnp.arange(C, dtype=jnp.float32)
+        best, arg = jax.jit(_dt_min)(jnp.asarray(dv), jnp.float32(lam), ramp)
+        best, arg = np.asarray(best), np.asarray(arg)
+        ii = np.arange(C)
+        ref = (dv[:, None] + lam * np.abs(ii[:, None] - ii[None, :])).min(0)
+        np.testing.assert_allclose(best, ref, rtol=1e-6, atol=1e-6)
+        # argmin validity (ties allowed): achieved value == min
+        achieved = dv[arg] + lam * np.abs(arg - ii)
+        np.testing.assert_allclose(achieved, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_viterbi_matches_bruteforce_dp():
+    """The scan Viterbi (distance-transform transitions + unvoiced state)
+    must reproduce a reference numpy DP's optimal path cost."""
+    import jax
+
+    from knnsvc_tpu.dsp.f0_device import _viterbi
+
+    rng = np.random.default_rng(5)
+    N, C = 12, 9
+    cost_v = rng.standard_normal((N, C)).astype(np.float32)
+    cost_u = rng.standard_normal(N).astype(np.float32) * 0.5
+    lam_s, switch = np.float32(0.31), np.float32(0.4)
+
+    states = np.asarray(jax.jit(_viterbi)(jnp.asarray(cost_v),
+                                          jnp.asarray(cost_u),
+                                          jnp.float32(lam_s),
+                                          jnp.float32(switch)))
+
+    # brute-force DP over C+1 states
+    ii = np.arange(C)
+    trans = lam_s * np.abs(ii[:, None] - ii[None, :])
+    d = np.concatenate([cost_v[0], [cost_u[0]]])
+    for t in range(1, N):
+        nd = np.empty(C + 1)
+        for j in range(C):
+            nd[j] = min((d[:C] + trans[:, j]).min(), d[C] + switch) + cost_v[t, j]
+        nd[C] = min(d[C], d[:C].min() + switch) + cost_u[t]
+        d = nd
+    opt = d.min()
+
+    # cost of the returned path must equal the DP optimum
+    got = (cost_v[0, states[0]] if states[0] < C else cost_u[0])
+    for t in range(1, N):
+        a, b = states[t - 1], states[t]
+        if a < C and b < C:
+            got += trans[a, b]
+        elif (a == C) != (b == C):
+            got += switch
+        got += cost_v[t, b] if b < C else cost_u[t]
+    np.testing.assert_allclose(got, opt, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_device_f0_heldout_suite_regression(tmp_path):
+    """Out-of-sample accuracy lock for the device extractor (same protocol
+    as test_f0.py's Harvest locks): the synthetic known-f0 HELD-OUT split
+    (deterministic seed, never used for tuning) must stay at the round-5
+    grade. Baked knobs measured P 1.000 / R .949 / w50 .974 / 0.51c;
+    bounds leave headroom for platform noise, not regressions."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import f0_truth_suite as suite
+
+    suite.generate(str(tmp_path), "heldout")
+    stats = suite.evaluate(str(tmp_path), "heldout", "device")
+    assert stats["precision"] > 0.97, stats
+    assert stats["recall"] > 0.91, stats
+    assert stats["within_50_cents"] > 0.94, stats
+    assert stats["median_cents"] < 1.5, stats

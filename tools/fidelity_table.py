@@ -23,8 +23,11 @@ import argparse
 import json
 import sys
 import tempfile
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 SAMPLE_DIR = "/root/reference/sample_content"
 SRC = f"{SAMPLE_DIR}/Danakil-voice_resampled_16000_cut.wav"
@@ -36,6 +39,7 @@ MODES = {
     "parity": ("highest", "exact", "harvest"),
     "fast": ("fastest", "approx", "fast"),
     "fast_parity_f0": ("fastest", "approx", "harvest"),  # f0-effect ablation
+    "fast_device_f0": ("fastest", "approx", "device"),   # zero-host-f0 mode
 }
 
 
@@ -148,7 +152,7 @@ def main(argv=None) -> int:
 
     results = {}
     modes = ["parity", "fast"] + ([] if args.skip_ablation
-                                  else ["fast_parity_f0"])
+                                  else ["fast_parity_f0", "fast_device_f0"])
     for mode in modes:
         print(f"# running {mode} ...", file=sys.stderr, flush=True)
         results[mode] = run_mode(mode, wavs, wavlm_params, wavlm_cfg,
@@ -156,14 +160,18 @@ def main(argv=None) -> int:
 
     out = {"seconds": args.seconds,
            "fast_vs_parity": compare(results["parity"], results["fast"])}
-    if "fast_parity_f0" in results:
-        out["fast_parity_f0_vs_parity"] = compare(results["parity"],
-                                                  results["fast_parity_f0"])
+    for abl in ("fast_parity_f0", "fast_device_f0"):
+        if abl in results:
+            out[f"{abl}_vs_parity"] = compare(results["parity"],
+                                              results[abl])
 
     rows = [("fast (bf16+approx+budget-Harvest)", out["fast_vs_parity"])]
     if "fast_parity_f0_vs_parity" in out:
         rows.append(("fast, parity f0 (bf16+approx only)",
                      out["fast_parity_f0_vs_parity"]))
+    if "fast_device_f0_vs_parity" in out:
+        rows.append(("fast, device f0 (zero-host-f0 serving)",
+                     out["fast_device_f0_vs_parity"]))
     print("\n| Config vs parity | feat dev/std | top-1 | top-4 | pitched "
           "top-4 | top-32 | wav max dev | f0 voiced agree | f0 med cents |")
     print("|---|---|---|---|---|---|---|---|---|")
