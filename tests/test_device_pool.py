@@ -216,6 +216,7 @@ def test_device_f0_method_fused(tiny_encoder, monkeypatch):
                                atol=0.5)
 
 
+@pytest.mark.slow  # second dtype retrace of the fused encode+f0 program
 def test_device_f0_method_int16_upload(tiny_encoder, monkeypatch):
     """The fused device-f0 path composes with int16 uploads (dequantize +
     f0 on device; the serving fast config)."""
