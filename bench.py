@@ -14,9 +14,12 @@ equivalent pipeline, nothing stubbed:
 
 Random full-size weights (throughput is weight-independent). Three configs:
 
-  fast      bf16 MXU + approx top-k + budget-Harvest f0 + int16 waveform
-            up/downloads, no_post_opt, the fused one-dispatch serving path
-            (match/serve.py — exactly hub convert_pair(fast=True)) -> headline
+  fast      bf16 MXU + approx top-k + device-resident f0 (dsp/f0_device.py,
+            fused into the pool-build dispatch; KNNSVC_BENCH_F0=fast swaps
+            back to the host budget Harvest) + int16 waveform up/downloads,
+            no_post_opt, the fused one-dispatch serving path
+            (match/serve.py — exactly hub convert_pair(fast=True) with
+            f0_method='device') -> headline
   post_opt  same device settings, post_opt_0.2 (OPT+CAT paper config)
   parity    fp32 HIGHEST + exact top-k + float32 uploads (the <=1e-3 waveform
             config); runs by default after the headline JSON (set
@@ -179,10 +182,12 @@ def run_config(name: str, precision: str, matcher: str, post_opt: str,
     # device-resident pools: features/spec/harmonics never leave HBM; the
     # host<->device traffic per conversion is two waveform uploads, the tiny
     # native-f0 vectors and one waveform download
-    # KNNSVC_BENCH_F0=device swaps the serving f0 from the host budget
-    # Harvest (background thread) to the accelerator-resident extractor
-    # fused into the pool-build dispatch (dsp/f0_device.py) — zero host f0
-    f0_method = os.environ.get("KNNSVC_BENCH_F0", "fast")
+    # the serving f0: 'device' (default) = the accelerator-resident
+    # extractor fused into the pool-build dispatch (dsp/f0_device.py, zero
+    # host compute; chip-measured 82x latency / 101x sustained vs 67/83
+    # with the host extractor); KNNSVC_BENCH_F0=fast = host budget Harvest
+    # on a background thread (the pre-r5 configuration)
+    f0_method = os.environ.get("KNNSVC_BENCH_F0", "device")
 
     def build_pool(timer: StageTimer, path: str):
         with timer.stage("load+resample"):
