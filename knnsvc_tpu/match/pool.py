@@ -376,9 +376,12 @@ def build_device_pool(
 
     f0_method='device' runs the device-resident extractor (dsp/f0_device.py)
     INSIDE each chunk's fused encode dispatch — no host f0 thread, no f0
-    upload, no host work at all beyond the waveform upload. The Viterbi
-    smoothing then runs per 30-s chunk instead of per file (boundary-local
-    divergence only; every other method decodes the whole file at once)."""
+    upload, no host work at all beyond the waveform upload. Two documented
+    divergences from the host methods: the Viterbi smoothing runs per 30-s
+    chunk instead of per file (boundary-local), and `audio_path` f0
+    sidecars are NOT consulted or written (the extractor is cheaper than
+    the read on this path; host methods keep the reference's sidecar
+    contract)."""
     m_hot = one_hot_layer(match_weights)
     s_hot = one_hot_layer(synth_weights)
     assert m_hot is not None and s_hot is not None, "device pool needs one-hot weights"

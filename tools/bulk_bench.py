@@ -61,6 +61,8 @@ def main() -> int:
     ap.add_argument("--data_batch", type=int, default=None)
     ap.add_argument("--post_opt", default="no_post_opt")
     ap.add_argument("--precision", default="fastest")
+    ap.add_argument("--f0_method", default="fast",
+                    choices=["fast", "harvest", "dio", "yin", "device"])
     ap.add_argument("--utt_s", type=int, default=30,
                     help="utterance length (short for CPU smoke runs)")
     args = ap.parse_args()
@@ -72,6 +74,7 @@ def main() -> int:
 
     set_precision(args.precision)
     knn = KnnSvc.random_init("mix")
+    knn.f0_method = args.f0_method
 
     root = Path(tempfile.mkdtemp(prefix="bulk_bench_"))
     try:
